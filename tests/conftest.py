@@ -1,0 +1,26 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Must run before any jax import (SURVEY.md §4: CPU-backend tests stand in for
+TPU in CI; multi-chip sharding is validated on a virtual host-device mesh).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compile cache: XLA compiles are minutes on this host; the cache
+# makes re-runs near-instant.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng_np():
+    return np.random.default_rng(1234)

@@ -1,0 +1,123 @@
+"""Frame rendering: pixel grid -> jittered rays -> integrator -> image.
+
+TPU-native replacement for PathTracer::render
+(cpp_raytracer/raytracer_core.cpp:354-416) and the v1 tiled renderer
+(old/raytracer_core copy.cpp:257-318). The reference fans pixels out over
+OpenMP threads; here the whole image is one wavefront per sample pass and
+``lax.scan`` iterates samples-per-pixel, so arbitrary spp never holds more
+than one wavefront of state (the same O(1)-memory trick the reference plays
+with ``samples_per_batch``, interaction.py:589).
+
+Outputs match the reference contract: per-batch image is the sample mean,
+sqrt-gamma'd and clamped to [0, 1] (raytracer_core.cpp:398-409). A linear
+(pre-gamma, unclamped) output is also available for the mathematically
+correct progressive-accumulation mode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cammod
+from ..core.types import CameraP, SphereScene
+from ..ops.integrator import trace
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_depth", "mode",
+        "enable_refraction", "gamma", "jitter", "with_stats",
+    ),
+)
+def render(
+    scene: SphereScene,
+    cam: CameraP,
+    key: jax.Array,
+    width: int = 640,
+    height: int = 480,
+    spp: int = 8,
+    max_depth: int = 4,
+    mode: str = "v2",
+    enable_refraction: bool = False,
+    gamma: bool = True,
+    jitter: bool = True,
+    with_stats: bool = False,
+):
+    """Render one batch of ``spp`` samples; returns (height, width, 3) f32.
+
+    ``jitter=False`` shoots rays through pixel centers — the deterministic
+    mode used for golden-image parity tests against the C++ reference.
+    ``with_stats=True`` additionally returns traced ray-segment count.
+    """
+    R = height * width
+
+    def sample_pass(carry, s):
+        acc, segs = carry
+        k_s = jax.random.fold_in(key, s)
+        k_jit, k_trace = jax.random.split(k_s)
+        if jitter:
+            xi = jax.random.uniform(k_jit, (height, width, 2), dtype=jnp.float32)
+        else:
+            xi = None
+        u, v = cammod.pixel_uv(width, height, xi)
+        o, d = cammod.generate_rays(cam, u.reshape(R), v.reshape(R))
+        color, nseg = trace(
+            scene, o, d, k_trace,
+            max_depth=max_depth, mode=mode,
+            enable_refraction=enable_refraction, with_stats=True,
+        )
+        return (acc + color, segs + nseg), None
+
+    (acc, segments), _ = jax.lax.scan(
+        sample_pass,
+        (jnp.zeros((R, 3), jnp.float32), jnp.int32(0)),
+        jnp.arange(spp, dtype=jnp.int32),
+    )
+    img = acc.reshape(height, width, 3) / spp
+    if gamma:
+        # Fast sqrt gamma + clamp (raytracer_core.cpp:400-409).
+        img = jnp.clip(jnp.sqrt(jnp.maximum(img, 0.0)), 0.0, 1.0)
+    if with_stats:
+        return img, segments
+    return img
+
+
+def tone_map(image: jnp.ndarray, exposure: float) -> jnp.ndarray:
+    """Reinhard tone map x*e / (1 + x*e), clamped
+    (RayTracerInteraction._tone_map, interaction.py:1435-1439)."""
+    image = image * exposure
+    image = image / (1.0 + image)
+    return jnp.clip(image, 0.0, 1.0)
+
+
+def enhance_contrast(image: jnp.ndarray) -> jnp.ndarray:
+    """Percentile 2-98 contrast stretch
+    (RayTracerInteraction._enhance_display, interaction.py:1441-1449)."""
+    lo = jnp.percentile(image, 2.0)
+    hi = jnp.percentile(image, 98.0)
+    stretched = jnp.clip((image - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+    return jnp.where(hi > lo, stretched, image)
+
+
+def accumulate(
+    accumulated: jnp.ndarray | None,
+    total_samples: int,
+    batch: jnp.ndarray,
+    batch_samples: int,
+):
+    """Progressive weighted merge old*w0 + new*w1.
+
+    Exactly the reference's accumulation (interaction.py:1311-1325) —
+    including its quirk of averaging *post-gamma* batches, which is the
+    behavioral contract the GUI expects.
+    """
+    if accumulated is None or total_samples == 0:
+        return batch, batch_samples
+    total_new = total_samples + batch_samples
+    w_old = total_samples / total_new
+    w_new = batch_samples / total_new
+    return accumulated * w_old + batch * w_new, total_new
