@@ -17,10 +17,20 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; pin the
+# default device to CPU so tests are hermetic and leave the chip free.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")

@@ -30,7 +30,8 @@ def test_brute_matches_oracle(rng_np):
         h = I.intersect_brute(scene, jnp.asarray(o), jnp.asarray(d))
         hit = np.asarray(h.hit)
         t = np.asarray(h.t)
-        idx = np.asarray(h.sphere_index)
+        # object_id defaults to arange, so id == sphere index here
+        idx = np.asarray(h.object_id).astype(int)
 
         def grazing(k, i):
             # Perpendicular distance from center to the ray ~ radius means a

@@ -1,0 +1,74 @@
+"""Sharded rendering over the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_rt.core import types as T
+from tpu_rt.parallel import make_mesh, render_sharded
+from tpu_rt.render import frame as F
+
+KEY = jax.random.key(11)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return T.demo_scene()
+
+
+@pytest.fixture(scope="module")
+def cam():
+    return T.make_camera(aspect=32 / 16)
+
+
+def test_mesh_factorizations(cpu_devices):
+    assert dict(make_mesh(devices=cpu_devices).shape) == {"tile": 8, "sample": 1}
+    assert dict(make_mesh(n_tile=2, n_sample=4, devices=cpu_devices).shape) == {
+        "tile": 2, "sample": 4}
+    assert dict(make_mesh(n_sample=8, devices=cpu_devices).shape) == {
+        "tile": 1, "sample": 8}
+    with pytest.raises(ValueError):
+        make_mesh(n_tile=3, devices=cpu_devices)
+
+
+@pytest.mark.parametrize("tile,sample", [(8, 1), (2, 4), (1, 8)])
+def test_sharded_render_shapes(scene, cam, tile, sample, cpu_devices):
+    mesh = make_mesh(n_tile=tile, n_sample=sample, devices=cpu_devices)
+    img = render_sharded(scene, cam, KEY, mesh, width=32, height=16, spp=8,
+                         max_depth=2)
+    img = np.asarray(img)
+    assert img.shape == (16, 32, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0 and img.max() <= 1
+
+
+def test_sharded_matches_single_device_statistically(scene, cam, cpu_devices):
+    """Sharded and single-device renders are independent MC estimates of the
+    same integral: their high-spp means must agree."""
+    mesh = make_mesh(n_tile=2, n_sample=4, devices=cpu_devices)
+    a = np.asarray(render_sharded(scene, cam, KEY, mesh, width=32, height=16,
+                                  spp=64, max_depth=3, gamma=False))
+    b = np.asarray(F.render(scene, cam, jax.random.key(5), width=32, height=16,
+                            spp=64, max_depth=3, gamma=False))
+    # Compare tone-mapped means to bound emissive outliers
+    ta = a / (1 + a)
+    tb = b / (1 + b)
+    assert abs(float(ta.mean() - tb.mean())) < 0.01
+    rmse = float(np.sqrt(((ta - tb) ** 2).mean()))
+    assert rmse < 0.08, rmse
+
+
+def test_sharded_deterministic_across_mesh_shapes_is_not_required_but_reproducible(scene, cam, cpu_devices):
+    mesh = make_mesh(n_tile=4, n_sample=2, devices=cpu_devices)
+    a = np.asarray(render_sharded(scene, cam, KEY, mesh, width=32, height=16,
+                                  spp=4, max_depth=2))
+    b = np.asarray(render_sharded(scene, cam, KEY, mesh, width=32, height=16,
+                                  spp=4, max_depth=2))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_indivisible_raises(scene, cam, cpu_devices):
+    mesh = make_mesh(n_tile=8, devices=cpu_devices)
+    with pytest.raises(ValueError):
+        render_sharded(scene, cam, KEY, mesh, width=32, height=12, spp=4,
+                       max_depth=2)

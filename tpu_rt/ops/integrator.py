@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from ..core import rng as rngmod
 from ..core import vecmath as vm
 from ..core.types import SphereScene
-from .intersect import intersect_brute
+from .intersect import attribute_matrix, intersect_brute
 
 # RR activates strictly after this many bounces (raytracer_core.cpp:317).
 RR_START_DEPTH = 3
@@ -112,6 +112,7 @@ def trace(
     if mode not in ("v1", "v2"):
         raise ValueError(f"unknown integrator mode {mode!r}")
     R = origins.shape[0]
+    attr = attribute_matrix(scene)
     if max_depth < 1:
         # The C++ bounce loop body never runs for max_depth < 1
         # (raytracer_core.cpp:297): the result is black.
@@ -125,7 +126,7 @@ def trace(
         k, k_ball, k_rr, k_branch, k_glass = jax.random.split(k, 5)
 
         segs = segs + jnp.sum(act.astype(jnp.int32))
-        h = intersect_brute(scene, o, d)
+        h = intersect_brute(scene, o, d, attr=attr)
 
         # Miss: add background through throughput, lane dies
         # (raytracer_core.cpp:306-311; v1 returns background up the chain,
@@ -141,8 +142,7 @@ def trace(
             front = vm.dot(d, normal, keepdims=True) < 0.0
             normal = jnp.where(front, normal, -normal)
 
-        emission = scene.emission[h.sphere_index]
-        col = col + jnp.where(act[:, None], thr * emission, 0.0)
+        col = col + jnp.where(act[:, None], thr * h.emission, 0.0)
 
         # Russian roulette (before scatter, after emission).
         xi_rr = rngmod.uniform(k_rr, (R,))
@@ -165,10 +165,8 @@ def trace(
 
         hp = o + d * h.t[:, None]
 
-        metallic = scene.metallic[h.sphere_index]
-        roughness = scene.roughness[h.sphere_index]
-        albedo = scene.albedo[h.sphere_index]
-        ior = scene.ior[h.sphere_index]
+        metallic, roughness, albedo, ior = (
+            h.metallic, h.roughness, h.albedo, h.ior)
 
         metal_dir, diffuse_dir = _scatter_directions(k_ball, d, normal, roughness)
         if mode == "v2":
@@ -194,15 +192,20 @@ def trace(
         depth, _, _, _, _, act, _, _ = state
         return (depth < max_depth) & jnp.any(act)
 
+    # The initial active mask is all-True but derived from ray data rather
+    # than a constant: under shard_map's varying-axes type system a constant
+    # mask would make the first segment-count replicated while later ones are
+    # varying, breaking the while_loop carry type.
+    act0 = jnp.isfinite(jnp.sum(directions, axis=-1))
     init = (
         jnp.int32(0),
         origins,
         directions,
         jnp.ones((R, 3), jnp.float32),
         jnp.zeros((R, 3), jnp.float32),
-        jnp.ones((R,), bool),
+        act0,
         key,
-        jnp.int32(0),
+        jnp.sum((directions[:, 0] * 0.0).astype(jnp.int32)),
     )
     # One guaranteed iteration (the C++ loop always runs once for
     # max_depth >= 1), then while_loop exits as soon as all lanes die.
