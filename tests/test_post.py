@@ -1,0 +1,85 @@
+"""Denoiser bank tests: cv2 parity for gaussian/median/bilateral, noise
+reduction for nlmeans."""
+
+import numpy as np
+import pytest
+
+from tpu_rt.app.denoiser import Denoiser
+from tpu_rt.ops import post
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture
+def noisy(rng_np):
+    base = np.zeros((32, 40, 3), np.float32)
+    base[8:24, 10:30] = [0.7, 0.4, 0.2]
+    noise = rng_np.normal(0, 0.08, base.shape).astype(np.float32)
+    return np.clip(base + noise, 0, 1)
+
+
+def _cv2_roundtrip(img, fn):
+    u8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    return fn(u8).astype(np.float32) / 255.0
+
+
+def test_gaussian_matches_cv2(noisy):
+    ours = np.asarray(post.gaussian_blur(noisy, 5, 1.0))
+    ref = _cv2_roundtrip(noisy, lambda u: cv2.GaussianBlur(u, (5, 5), 1.0))
+    # identical up to rounding of the uint8 quantization (+-1/255)
+    assert np.abs(ours - ref).max() <= 1.5 / 255.0
+
+
+def test_median_matches_cv2(noisy):
+    ours = np.asarray(post.median_blur(noisy, 5))
+    ref = _cv2_roundtrip(noisy, lambda u: cv2.medianBlur(u, 5))
+    # interior must match up to f32 division epsilon; cv2's border handling
+    # differs slightly so edges are excluded
+    inner = (slice(2, -2), slice(2, -2))
+    np.testing.assert_allclose(ours[inner], ref[inner], atol=1e-5)
+
+
+def test_bilateral_close_to_cv2(noisy):
+    ours = np.asarray(post.bilateral_filter(noisy, 9, 75, 75))
+    ref = _cv2_roundtrip(noisy, lambda u: cv2.bilateralFilter(u, 9, 75, 75))
+    inner = (slice(4, -4), slice(4, -4))
+    err = np.abs(ours[inner] - ref[inner]).max()
+    assert err <= 4 / 255.0, err  # cv2 quantizes its exp() into LUTs
+
+
+def test_nlmeans_reduces_noise(rng_np):
+    # Moderate noise + h scaled to it: weights stay meaningful
+    # (w = exp(-mean_ssd/h^2) needs h^2 ~ 2 sigma_u8^2).
+    base = np.zeros((32, 40, 3), np.float32)
+    base[8:24, 10:30] = [0.7, 0.4, 0.2]
+    noisy = np.clip(base + rng_np.normal(0, 0.05, base.shape), 0, 1
+                    ).astype(np.float32)
+    out = np.asarray(post.nlmeans(noisy, h=25, template_window_size=5,
+                                  search_window_size=9))
+    flat = (slice(10, 22), slice(12, 28))
+    # per-channel noise (channel means differ, so joint std is dominated by
+    # the irreducible inter-channel spread)
+    for c in range(3):
+        assert out[flat][..., c].std() < noisy[flat][..., c].std() * 0.6, c
+    # edges preserved: block mean still far from background
+    assert abs(out[flat][..., 0].mean() - 0.7) < 0.1
+
+
+def test_denoiser_bank_api(noisy):
+    bank = Denoiser()
+    assert bank.available_methods == ["bilateral", "nlmeans", "gaussian",
+                                      "median"]
+    for m in bank.available_methods:
+        kwargs = {"search_window_size": 9, "template_window_size": 5} if m == "nlmeans" else {}
+        out = bank.denoise(noisy, m, **kwargs)
+        assert out.shape == noisy.shape
+        assert out.dtype == np.float32
+        assert 0 <= out.min() and out.max() <= 1
+    with pytest.raises(ValueError):
+        bank.denoise(noisy, "nope")
+
+
+def test_denoiser_cv2_backend_matches_gaussian(noisy):
+    ours = Denoiser().denoise(noisy, "gaussian")
+    ref = Denoiser(backend="cv2").denoise(noisy, "gaussian")
+    assert np.abs(ours - ref).max() <= 1.5 / 255.0

@@ -1,0 +1,865 @@
+"""Interactive path-tracing runtime: the orchestration layer.
+
+TPU-backed rebuild of the reference's controller layer (interaction.py):
+the ``RayTracerInteraction`` facade with the same ~30-method surface the Qt
+GUI drives (SURVEY.md §2.2 P4-P11) — mode FSM, camera/drag controllers,
+progressive accumulation with a frame queue, preview rasterizers, denoiser
+bank, scene CRUD, procedural textures — but running its render batches
+through the jitted TPU pipeline behind ``tpu_rt.api.RayTracer``.
+
+Deliberate behavioral fixes over the reference (SURVEY.md §2.4):
+  * ``RenderStateManager.should_return_to_raytracing`` works (the reference's
+    version contained a self-contradictory conjunction and always returned
+    False; mode restore only flowed through key-release handlers).
+  * Scene edits mark buffers dirty and rebuild on device lazily — no
+    double BVH rebuild per edit (the reference rebuilt on ``build_bvh()``
+    *and* again inside ``set_scene``'s copy-assign).
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+import time
+from enum import Enum
+from queue import Queue
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..api import Camera, Material, RayTracer, Scene, Sphere, Vector3
+from .denoiser import Denoiser
+from .preview import PreviewRenderer
+from .utils import FrameRateLimiter
+
+
+class RenderMode(Enum):
+    """Rendering modes (interaction.py:16-20)."""
+
+    RAYTRACING = 0
+    SILHOUETTE = 1
+    WIREFRAME = 2
+
+
+# ---------------------------------------------------------------------------
+# rotation helpers (reference wraps these in a Matrix3 class,
+# interaction.py:22-54; plain functions suffice)
+# ---------------------------------------------------------------------------
+
+def rotate_about_y(v: Vector3, angle: float) -> Vector3:
+    c, s = math.cos(angle), math.sin(angle)
+    return Vector3(c * v.x + s * v.z, v.y, -s * v.x + c * v.z)
+
+
+def rotate_about_axis(v: Vector3, axis: Vector3, angle: float) -> Vector3:
+    """Rodrigues rotation of v about a unit axis."""
+    c, s = math.cos(angle), math.sin(angle)
+    k = axis
+    kv = k.cross(v)
+    kkv = k * k.dot(v)
+    return v * c + kv * s + kkv * (1.0 - c)
+
+
+class CameraController:
+    """WASD/Space/Ctrl movement + mouse-look (interaction.py:56-142)."""
+
+    KEYS = ("forward", "backward", "left", "right", "up", "down")
+
+    def __init__(self, camera: Camera, settings: Dict):
+        self.camera = camera
+        self.settings = settings
+        self.keys_pressed = {k: False for k in self.KEYS}
+        self.rotating = False
+        self.last_mouse_pos = None
+        self.update_camera_frame()
+
+    def update_camera_frame(self):
+        self.forward = (self.camera.target - self.camera.position).normalize()
+        right = self.forward.cross(Vector3(0, 1, 0))
+        self.right = right.normalize() if right.length() > 0 else Vector3(1, 0, 0)
+        self.up = self.right.cross(self.forward).normalize()
+
+    def any_key_pressed(self) -> bool:
+        return any(self.keys_pressed.values())
+
+    def get_movement_vector(self) -> Vector3:
+        speed = self.settings["camera_move_speed"]
+        move = Vector3(0, 0, 0)
+        kp = self.keys_pressed
+        if kp["forward"]:
+            move += self.forward * speed
+        if kp["backward"]:
+            move += self.forward * -speed
+        if kp["left"]:
+            move += self.right * -speed
+        if kp["right"]:
+            move += self.right * speed
+        if kp["up"]:
+            move += Vector3(0, speed, 0)
+        if kp["down"]:
+            move += Vector3(0, -speed, 0)
+        return move
+
+    def apply_bounds(self):
+        """Position clamp x,z in [-20,20], y in [0.1,20]
+        (interaction.py:112-116)."""
+        p = self.camera.position
+        p.x = max(-20.0, min(20.0, p.x))
+        p.y = max(0.1, min(20.0, p.y))
+        p.z = max(-20.0, min(20.0, p.z))
+
+    def rotate(self, dx: float, dy: float):
+        """Yaw about world-Y then pitch about camera-right; writes
+        camera.target = position + forward (interaction.py:118-142)."""
+        sens = self.settings["camera_rotate_speed"]
+        yaw = -dx * sens
+        pitch = max(-1.5, min(1.5, -dy * sens))
+
+        forward = (self.camera.target - self.camera.position).normalize()
+        right = forward.cross(Vector3(0, 1, 0)).normalize()
+
+        forward = rotate_about_y(forward, yaw)
+        if abs(pitch) > 0.001:
+            forward = rotate_about_axis(forward, right, pitch)
+        self.camera.target = self.camera.position + forward
+        self.update_camera_frame()
+
+
+class ObjectDragger:
+    """Screen-drag to world-move with per-axis locks
+    (interaction.py:144-220)."""
+
+    def __init__(self, scene: Scene, camera_controller: CameraController,
+                 settings: Dict):
+        self.scene = scene
+        self.camera_controller = camera_controller
+        self.settings = settings
+        self.dragging = False
+        self.selected_object_id = -1
+        self.drag_start_pos = None
+        self.drag_start_object_pos = None
+        self.lock_x = self.lock_y = self.lock_z = False
+
+    def update_drag(self, dx: float, dy: float):
+        if not self.dragging:
+            return
+        obj = self._selected()
+        if obj is None:
+            return
+        speed = self.settings["move_speed"] * 2.0
+        world_dx = self.camera_controller.right * (dx * 2.0)
+        world_dy = self.camera_controller.up * (-dy * 2.0)
+        for locked, axis in ((self.lock_x, "x"), (self.lock_y, "y"),
+                             (self.lock_z, "z")):
+            if locked:
+                setattr(world_dx, axis, 0.0)
+                setattr(world_dy, axis, 0.0)
+        new_pos = self.drag_start_object_pos + (world_dx + world_dy) * speed
+        # Object bounds x in [-8,8], y in [0.1,8], z in [-8,2]
+        # (interaction.py:193-196).
+        new_pos.x = max(-8.0, min(8.0, new_pos.x))
+        new_pos.y = max(0.1, min(8.0, new_pos.y))
+        new_pos.z = max(-8.0, min(2.0, new_pos.z))
+        obj.center = new_pos
+
+    def stop_drag(self):
+        self.dragging = False
+        self.lock_x = self.lock_y = self.lock_z = False
+
+    def set_dimension_lock(self, dimension: str, state: bool):
+        if dimension in ("x", "y", "z"):
+            setattr(self, f"lock_{dimension}", state)
+
+    def _selected(self) -> Optional[Sphere]:
+        for s in self.scene.spheres:
+            if s.object_id == self.selected_object_id:
+                return s
+        return None
+
+
+class RenderStateManager:
+    """Mode FSM with interaction timeout (interaction.py:222-288).
+
+    The reference's ``should_return_to_raytracing`` was dead code (see module
+    docstring); this version returns True once the interaction has been idle
+    past the timeout.
+    """
+
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+        self.previous_mode = RenderMode.RAYTRACING
+        self.current_mode = RenderMode.RAYTRACING
+        self.is_rendering = False
+        self.interaction_in_progress = False
+        self.last_interaction_time = 0.0
+        self.interaction_timeout = 0.5
+
+    def set_mode(self, mode: RenderMode):
+        if mode != self.current_mode:
+            self.previous_mode = self.current_mode
+            self.current_mode = mode
+        if mode != RenderMode.RAYTRACING:
+            self.is_rendering = False
+
+    def start_interaction(self):
+        self.interaction_in_progress = True
+        self.last_interaction_time = time.time()
+        if self.current_mode == RenderMode.RAYTRACING:
+            self.previous_mode = RenderMode.RAYTRACING
+        self.set_mode(RenderMode.WIREFRAME)
+
+    def update_interaction(self):
+        self.last_interaction_time = time.time()
+
+    def should_return_to_raytracing(self) -> bool:
+        return (
+            self.interaction_in_progress
+            and self.previous_mode == RenderMode.RAYTRACING
+            and time.time() - self.last_interaction_time > self.interaction_timeout
+        )
+
+    def return_to_previous_mode(self):
+        if self.previous_mode == RenderMode.RAYTRACING:
+            self.interaction_in_progress = False
+            self.current_mode = RenderMode.RAYTRACING
+            self.is_rendering = True
+        else:
+            self.current_mode = self.previous_mode
+
+
+class SceneManager:
+    """Scene factory (interaction.py:290-355)."""
+
+    # (position, albedo, metallic, roughness, radius, emission, name)
+    OBJECT_ROWS = [
+        ((-2.0, 0.5, -3.0), (0.9, 0.1, 0.1), 0.9, 0.1, 0.5, None, "Red Metallic"),
+        ((0.0, 0.5, -3.0), (0.1, 0.9, 0.1), 0.0, 0.3, 0.5, None, "Green Dielectric"),
+        ((2.0, 0.5, -3.0), (0.1, 0.1, 0.9), 0.0, 0.0, 0.5, None, "Blue Glass"),
+        ((-1.0, 0.3, -1.5), (0.9, 0.9, 0.1), 0.5, 0.2, 0.3, None, "Yellow Mixed"),
+        ((1.0, 0.3, -1.5), (0.9, 0.1, 0.9), 0.2, 0.8, 0.3, None, "Purple Rough"),
+        ((0.0, 3.0, -1.0), (1.0, 1.0, 1.0), 0.0, 0.1, 0.3, (10, 10, 8), "Main Light"),
+        ((-2.0, 2.0, 0.0), (1.0, 1.0, 1.0), 0.0, 0.1, 0.2, (5, 3, 2), "Warm Light"),
+        ((2.0, 2.0, 0.0), (1.0, 1.0, 1.0), 0.0, 0.1, 0.2, (2, 3, 5), "Cool Light"),
+    ]
+
+    @staticmethod
+    def create_interactive_scene() -> Scene:
+        scene = Scene()
+        scene.background_color = Vector3(0.05, 0.05, 0.1)
+
+        ground = Sphere()
+        ground.center = Vector3(0, -100.5, 0)
+        ground.radius = 100.0
+        ground.material.albedo = Vector3(0.9, 0.9, 0.9)
+        ground.object_id = 0
+        ground.name = "Ground"
+        scene.add_sphere(ground)
+
+        for i, (pos, color, metal, rough, radius, emission, name) in enumerate(
+            SceneManager.OBJECT_ROWS, start=1
+        ):
+            sphere = Sphere()
+            sphere.center = Vector3(*pos)
+            sphere.radius = radius
+            mat = Material()
+            mat.albedo = Vector3(*color)
+            mat.metallic = metal
+            mat.roughness = rough
+            mat.emission = Vector3(*emission) if emission else Vector3(0, 0, 0)
+            sphere.material = mat
+            sphere.object_id = i
+            sphere.name = name
+            scene.add_sphere(sphere)
+        scene.build_bvh()
+        return scene
+
+
+def _hsv_to_rgb(h: float, s: float, v: float):
+    """HSV (h degrees) -> RGB, the conversion of interaction.py:678-699."""
+    h_norm = (h % 360) / 360.0
+    i = int(h_norm * 6) % 6
+    f = h_norm * 6 - int(h_norm * 6)
+    p, q, t = v * (1 - s), v * (1 - f * s), v * (1 - (1 - f) * s)
+    return [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q)][i]
+
+
+def procedural_noise_color(position: Vector3, scale: float = 1.0,
+                           octaves: int = 3, base_hsv=None):
+    """Deterministic fractal-sinusoid color (interaction.py:703-759)."""
+    x, y, z = position.x * scale, position.y * scale, position.z * scale
+    r = g = b = 0.0
+    amp, freq, total = 1.0, 1.0, 0.0
+    for o in range(max(1, int(octaves))):
+        r += amp * math.sin(x * freq + 0.37 * (o + 1))
+        g += amp * math.sin(y * freq + 1.17 * (o + 1))
+        b += amp * math.sin(z * freq + 2.41 * (o + 1))
+        total += amp
+        amp *= 0.5
+        freq *= 2.0
+    r = (r / total) * 0.5 + 0.5
+    g = (g / total) * 0.5 + 0.5
+    b = (b / total) * 0.5 + 0.5
+    if base_hsv:
+        h, s, _v = base_hsv
+        r, g, b = _hsv_to_rgb(h, s, (r + g + b) / 3.0)
+    return (max(0.0, min(1.0, r)), max(0.0, min(1.0, g)),
+            max(0.0, min(1.0, b)))
+
+
+class RayTracerInteraction:
+    """The interactive runtime facade (interaction.py:567-1475).
+
+    Owns the TPU RayTracer, the scene, controllers, the mode FSM, the
+    progressive accumulator, worker threads, and the frame queue the GUI
+    polls. Method surface matches the reference so gui.py-shaped code runs
+    unchanged.
+    """
+
+    def __init__(self, width: int = 640, height: int = 480,
+                 debug_mode: bool = False):
+        self.width = width
+        self.height = height
+
+        self.ray_tracer = RayTracer()
+        self.scene = SceneManager.create_interactive_scene()
+        self.ray_tracer.set_scene(self.scene)
+
+        self.camera = self.ray_tracer.get_camera()
+        self._init_camera()
+        self.ray_tracer.set_camera(self.camera)
+
+        # Settings dict with the reference defaults (interaction.py:587-599).
+        self.settings: Dict = {
+            "max_samples": 32,
+            "samples_per_batch": 8,
+            "max_depth": 4,
+            "exposure": 1.5,
+            "enhance_image": True,
+            "show_denoisers": False,
+            "selected_denoisers": ["bilateral"],
+            "selected_object": 1,
+            "move_speed": 0.3,
+            "camera_move_speed": 0.1,
+            "camera_rotate_speed": 0.5,
+        }
+
+        self.camera_controller = CameraController(self.camera, self.settings)
+        self.object_dragger = ObjectDragger(self.scene, self.camera_controller,
+                                            self.settings)
+        self.render_state = RenderStateManager(width, height)
+        self.renderer = PreviewRenderer(width, height, self.camera, self.scene)
+
+        self.accumulated_image: Optional[np.ndarray] = None
+        self.total_samples = 0
+        self.frame_queue: Queue = Queue()
+        self.render_lock = threading.RLock()
+        self.denoiser = Denoiser()
+        self._gui = None
+        self._last_manual_movement = 0.0
+
+        self.camera_move_active = True
+        self.camera_move_thread = threading.Thread(
+            target=self._camera_move_worker, daemon=True)
+        self.camera_move_thread.start()
+
+    def _init_camera(self):
+        """Default pose (interaction.py:638-643)."""
+        self.camera.position = Vector3(0, 2, 5)
+        self.camera.target = Vector3(0, 0, -1)
+        self.camera.up = Vector3(0, 1, 0)
+        self.camera.fov = 45.0
+
+    # ------------------------------------------------------------------
+    # camera control
+    # ------------------------------------------------------------------
+
+    def reset_camera_and_rerender(self):
+        with self.render_lock:
+            self._init_camera()
+            self.ray_tracer.set_camera(self.camera)
+            self.render_state.start_interaction()
+            self._process_frame_for_display(0.0)
+            self.render_state.set_mode(RenderMode.RAYTRACING)
+            self.restart_rendering()
+
+    def set_camera_key_state(self, key: str, state: bool):
+        if key not in self.camera_controller.keys_pressed:
+            return
+        with self.render_lock:
+            if self.camera_controller.keys_pressed[key] == state:
+                return
+            self.camera_controller.keys_pressed[key] = state
+            if state:
+                self._last_manual_movement = time.time()
+                if self.render_state.current_mode == RenderMode.RAYTRACING:
+                    self.render_state.start_interaction()
+                    self._process_frame_for_display(0.016)
+            elif (not self.camera_controller.any_key_pressed()
+                  and not self.camera_controller.rotating):
+                self._handle_all_keys_released()
+
+    def start_camera_rotation(self, x: float, y: float):
+        with self.render_lock:
+            self.camera_controller.rotating = True
+            self.camera_controller.last_mouse_pos = (x, y)
+            self.render_state.start_interaction()
+
+    def update_camera_rotation(self, dx: float, dy: float):
+        with self.render_lock:
+            if not self.camera_controller.rotating:
+                return
+            self.render_state.update_interaction()
+            self.camera_controller.rotate(dx, dy)
+            self.ray_tracer.set_camera(self.camera)
+            self._process_frame_for_display(0.05)
+
+    def stop_camera_rotation(self):
+        with self.render_lock:
+            was_rotating = self.camera_controller.rotating
+            self.camera_controller.rotating = False
+            self.camera_controller.last_mouse_pos = None
+            if was_rotating:
+                self._handle_rotation_stopped()
+
+    # ------------------------------------------------------------------
+    # selection / dragging / object edits
+    # ------------------------------------------------------------------
+
+    def get_selected_object(self) -> Optional[Sphere]:
+        return self._get_sphere_by_id(self.settings["selected_object"])
+
+    def _get_sphere_by_id(self, object_id: int) -> Optional[Sphere]:
+        for s in self.scene.spheres:
+            if s.object_id == object_id:
+                return s
+        return None
+
+    def get_object_count(self) -> int:
+        """Interactive objects, excluding ground (interaction.py:1455-1457)."""
+        return len(self.scene.spheres) - 1
+
+    def select_object_by_click(self, x: float, y: float) -> bool:
+        """Raycast selection in normalized screen coords, ground excluded
+        (interaction.py:817-883)."""
+        with self.render_lock:
+            cam = self.camera
+            cam.aspect_ratio = self.width / self.height
+            ray = cam.get_ray(x, y)
+            best_id, best_t = -1, float("inf")
+            from ..api import HitRecord
+
+            rec = HitRecord()
+            for s in self.scene.spheres:
+                if s.object_id == 0:
+                    continue
+                if s.hit(ray, 1e-3, best_t, rec):
+                    best_t = rec.t
+                    best_id = s.object_id
+            if best_id < 0:
+                return False
+            self.settings["selected_object"] = best_id
+            self.object_dragger.selected_object_id = best_id
+            self._notify_gui("selection")
+            return True
+
+    def start_object_dragging(self, x: float, y: float) -> bool:
+        if not self.select_object_by_click(x, y):
+            return False
+        obj = self.get_selected_object()
+        if obj is None or obj.object_id == 0:
+            return False
+        dragger = self.object_dragger
+        dragger.dragging = True
+        dragger.selected_object_id = obj.object_id
+        dragger.drag_start_pos = (x, y)
+        dragger.drag_start_object_pos = Vector3(obj.center.x, obj.center.y,
+                                                obj.center.z)
+        if self.render_state.current_mode == RenderMode.RAYTRACING:
+            self.render_state.set_mode(RenderMode.SILHOUETTE)
+        return True
+
+    def update_object_dragging(self, dx: float, dy: float):
+        if not self.object_dragger.dragging:
+            return
+        self.object_dragger.update_drag(dx, dy)
+        self.ray_tracer.set_scene(self.scene)
+        self._process_frame_for_display(0.016)
+
+    def stop_object_dragging(self):
+        self.object_dragger.stop_drag()
+        self.render_state.set_mode(RenderMode.RAYTRACING)
+        self.restart_rendering()
+
+    def set_dimension_lock(self, dimension: str, state: bool):
+        self.object_dragger.set_dimension_lock(dimension, state)
+
+    def move_object(self, dx: float, dy: float, dz: float):
+        """Keyboard object movement with bounds (interaction.py:885-911)."""
+        with self.render_lock:
+            obj = self.get_selected_object()
+            if obj is None or obj.object_id == 0:
+                return
+            speed = self.settings["move_speed"]
+            c = obj.center
+            c.x = max(-8.0, min(8.0, c.x + dx * speed))
+            c.y = max(0.1, min(8.0, c.y + dy * speed))
+            c.z = max(-8.0, min(2.0, c.z + dz * speed))
+            self.ray_tracer.set_scene(self.scene)
+            self.restart_rendering()
+            self._notify_gui("object_info")
+
+    def add_object_to_scene(self) -> int:
+        """New default sphere at (0,2,-3) (interaction.py:956-1012)."""
+        with self.render_lock:
+            next_id = max((s.object_id for s in self.scene.spheres),
+                          default=-1) + 1
+            sphere = Sphere()
+            sphere.center = Vector3(0, 2, -3)
+            sphere.radius = 0.5
+            sphere.object_id = next_id
+            sphere.name = f"Sphere {next_id}"
+            self.scene.add_sphere(sphere)
+            self.scene.build_bvh()
+            self.ray_tracer.set_scene(self.scene)
+            self.settings["selected_object"] = next_id
+            self.object_dragger.selected_object_id = next_id
+            self._notify_gui("object_list")
+            self.restart_rendering()
+            return next_id
+
+    def remove_object_from_scene(self, object_id: int) -> bool:
+        """(interaction.py:1015-1065)"""
+        with self.render_lock:
+            if self._get_sphere_by_id(object_id) is None:
+                return False
+            self.scene.remove_sphere(object_id)
+            self.scene.build_bvh()
+            self.ray_tracer.set_scene(self.scene)
+            # select the first remaining non-ground object
+            self.settings["selected_object"] = 0
+            self.object_dragger.selected_object_id = 0
+            for s in self.scene.spheres:
+                if s.object_id > 0:
+                    self.settings["selected_object"] = s.object_id
+                    self.object_dragger.selected_object_id = s.object_id
+                    break
+            self._notify_gui("object_list")
+            self.restart_rendering()
+            return True
+
+    # ------------------------------------------------------------------
+    # material edits
+    # ------------------------------------------------------------------
+
+    def set_object_color(self, r: float, g: float, b: float,
+                         apply_immediate: bool = True):
+        """Albedo set; emissive objects keep their intensity
+        (interaction.py:662-676)."""
+        obj = self.get_selected_object()
+        if obj is None:
+            return
+        obj.material.albedo = Vector3(r, g, b)
+        e = obj.material.emission
+        if (e.x + e.y + e.z) > 0.001:
+            avg = (e.x + e.y + e.z) / 3.0
+            obj.material.emission = Vector3(r * avg, g * avg, b * avg)
+        if apply_immediate:
+            self.ray_tracer.set_scene(self.scene)
+            self.restart_rendering()
+
+    def set_object_color_hsv(self, h: float, s: float, v: float,
+                             apply_immediate: bool = True):
+        r, g, b = _hsv_to_rgb(h, s, v)
+        self.set_object_color(r, g, b, apply_immediate=apply_immediate)
+
+    def set_object_texture(self, texture_type: str, params: dict) -> bool:
+        """Procedural texture application (interaction.py:761-783)."""
+        obj = self.get_selected_object()
+        if obj is None:
+            return False
+        if texture_type == "none":
+            return True
+        if texture_type == "noise":
+            r, g, b = procedural_noise_color(
+                obj.center,
+                scale=float(params.get("scale", 1.0)),
+                octaves=int(params.get("octaves", 3)),
+                base_hsv=params.get("tint_hsv"),
+            )
+            obj.material.albedo = Vector3(r, g, b)
+            self.ray_tracer.set_scene(self.scene)
+            self.restart_rendering()
+            return True
+        return False
+
+    def update_object_material(self, property_name: str, value: float):
+        """(interaction.py:913-924)"""
+        obj = self.get_selected_object()
+        if obj is None:
+            return
+        if property_name == "albedo":
+            obj.material.albedo = Vector3(value, value, value)
+        elif property_name == "metallic":
+            obj.material.metallic = value
+        elif property_name == "roughness":
+            obj.material.roughness = value
+        self.restart_rendering()
+
+    def update_object_material_immediate(self):
+        with self.render_lock:
+            self.ray_tracer.set_scene(self.scene)
+            self.restart_rendering()
+
+    def update_light_intensity(self, intensity: float):
+        """Scale emission preserving color ratios (interaction.py:932-954)."""
+        obj = self.get_selected_object()
+        if obj is None:
+            return
+        e = obj.material.emission
+        if max(e.x, e.y, e.z) <= 0.1:
+            return
+        scale = intensity / max(e.x, e.y, e.z)
+        obj.material.emission = Vector3(e.x * scale, e.y * scale, e.z * scale)
+        self.ray_tracer.set_scene(self.scene)
+        self.restart_rendering()
+
+    # ------------------------------------------------------------------
+    # viewport / lifecycle
+    # ------------------------------------------------------------------
+
+    def resize_viewport(self, width: int, height: int) -> bool:
+        """(interaction.py:785-810)"""
+        with self.render_lock:
+            self.width = max(1, int(width))
+            self.height = max(1, int(height))
+            self.render_state = RenderStateManager(self.width, self.height)
+            self.renderer = PreviewRenderer(self.width, self.height,
+                                            self.camera, self.scene)
+            self.accumulated_image = None
+            self.total_samples = 0
+            self.restart_rendering()
+            return True
+
+    def restart_rendering(self):
+        """Zero accumulation and relaunch the worker
+        (interaction.py:1186-1196)."""
+        with self.render_lock:
+            self.render_state.is_rendering = False
+            time.sleep(0.02)
+            self.accumulated_image = None
+            self.total_samples = 0
+            self.frame_queue = Queue()
+            self.start_rendering()
+
+    def start_rendering(self):
+        if self.render_state.is_rendering:
+            return
+        self.render_state.is_rendering = True
+        self.accumulated_image = np.zeros((self.height, self.width, 3),
+                                          np.float32)
+        self.total_samples = 0
+        self._render_thread = threading.Thread(target=self._render_worker,
+                                               daemon=True)
+        self._render_thread.start()
+
+    def stop_rendering(self):
+        """Stop workers and wait for them: exiting the interpreter while a
+        daemon worker sits inside a device call aborts the TPU client."""
+        self.render_state.is_rendering = False
+        self.camera_move_active = False
+        if self.camera_move_thread:
+            self.camera_move_thread.join(timeout=1.0)
+        t = getattr(self, "_render_thread", None)
+        if t is not None and t.is_alive():
+            t.join(timeout=5.0)
+
+    def has_frames(self) -> bool:
+        return not self.frame_queue.empty()
+
+    def get_frame(self) -> Optional[Dict]:
+        try:
+            return self.frame_queue.get_nowait()
+        except Exception:
+            return None
+
+    # ------------------------------------------------------------------
+    # workers
+    # ------------------------------------------------------------------
+
+    def _render_worker(self):
+        """Progressive batch loop (interaction.py:1285-1340)."""
+        try:
+            while (self.render_state.is_rendering
+                   and self.total_samples < self.settings["max_samples"]):
+                start = time.time()
+                with self.render_lock:
+                    result = self.ray_tracer.render(
+                        self.width, self.height,
+                        self.settings["samples_per_batch"],
+                        self.settings["max_depth"],
+                    )
+                if result is None or len(result) == 0:
+                    continue
+                batch = np.asarray(result, np.float32).reshape(
+                    (self.height, self.width, 3))
+                render_time = time.time() - start
+                n = self.settings["samples_per_batch"]
+                if self.total_samples == 0:
+                    self.accumulated_image = batch
+                    self.total_samples = n
+                else:
+                    total_new = self.total_samples + n
+                    self.accumulated_image = (
+                        self.accumulated_image * (self.total_samples / total_new)
+                        + batch * (n / total_new)
+                    )
+                    self.total_samples = total_new
+                self._process_frame_for_display(render_time)
+                time.sleep(0.005)
+        except Exception as e:  # pragma: no cover - defensive, like run.py
+            print(f"Rendering error: {e}")
+            import traceback
+
+            traceback.print_exc()
+        self.frame_queue.put({"done": True})
+        self.render_state.is_rendering = False
+
+    def _camera_move_worker(self):
+        """100 Hz movement poller with 30 fps frame limiting
+        (interaction.py:1215-1256)."""
+        limiter = FrameRateLimiter(30)
+        while self.camera_move_active:
+            try:
+                now = time.time()
+                moving = (self.camera_controller.any_key_pressed()
+                          or self.camera_controller.rotating)
+                if moving:
+                    self._last_manual_movement = now
+                    self.render_state.update_interaction()
+                    if limiter.should_update():
+                        self._process_camera_movement()
+                        limiter.update()
+                elif (self.render_state.should_return_to_raytracing()
+                      and now - self._last_manual_movement > 0.5):
+                    with self.render_lock:
+                        if not (self.camera_controller.any_key_pressed()
+                                or self.camera_controller.rotating):
+                            self.render_state.set_mode(RenderMode.RAYTRACING)
+                            self.restart_rendering()
+                time.sleep(0.01)
+            except Exception as e:  # pragma: no cover
+                print(f"Camera worker error: {e}")
+                time.sleep(0.1)
+
+    def _process_camera_movement(self):
+        """(interaction.py:1258-1283)"""
+        with self.render_lock:
+            if not self.camera_controller.any_key_pressed():
+                return
+            move = self.camera_controller.get_movement_vector()
+            if move.length() == 0:
+                return
+            self.camera.position = self.camera.position + move
+            self.camera.target = self.camera.target + move
+            self.ray_tracer.set_camera(self.camera)
+            self.camera_controller.apply_bounds()
+            self.camera_controller.update_camera_frame()
+            if self.render_state.current_mode != RenderMode.WIREFRAME:
+                self.render_state.set_mode(RenderMode.WIREFRAME)
+            self._process_frame_for_display(0.05)
+
+    # ------------------------------------------------------------------
+    # frame packaging
+    # ------------------------------------------------------------------
+
+    def _process_frame_for_display(self, render_time: float):
+        """Tone map / preview + denoise + enqueue (interaction.py:1346-1391)."""
+        mode = self.render_state.current_mode
+        denoised: Dict[str, np.ndarray] = {}
+        if mode == RenderMode.SILHOUETTE:
+            display = self.renderer.render_silhouette(
+                self.object_dragger.selected_object_id)
+            enhanced = display
+            mode_str = "silhouette"
+        elif mode == RenderMode.WIREFRAME:
+            display = self.renderer.render_wireframe(
+                self.object_dragger.selected_object_id)
+            enhanced = display
+            mode_str = "wireframe"
+        else:
+            if self.accumulated_image is None:
+                return
+            display = self._tone_map(self.accumulated_image,
+                                     self.settings["exposure"])
+            enhanced = (self._enhance_display(display)
+                        if self.settings["enhance_image"] else display)
+            mode_str = "raytracing"
+            if self.settings["show_denoisers"]:
+                for method in self.settings["selected_denoisers"]:
+                    try:
+                        denoised[method] = self.denoiser.denoise(display, method)
+                    except Exception as e:  # pragma: no cover
+                        print(f"Denoising error: {e}")
+
+        self.frame_queue.put({
+            "display": display,
+            "enhanced": enhanced,
+            "denoised": denoised,
+            "samples": self.total_samples,
+            "render_time": render_time,
+            "mode": mode_str,
+            "is_raytracing": mode == RenderMode.RAYTRACING,
+        })
+
+    def _handle_all_keys_released(self):
+        """(interaction.py:1397-1413)"""
+        if self.render_state.previous_mode == RenderMode.RAYTRACING:
+            time.sleep(0.02)
+            if not self.camera_controller.any_key_pressed():
+                self.ray_tracer.set_camera(self.camera)
+                self.render_state.set_mode(RenderMode.RAYTRACING)
+                self.restart_rendering()
+        else:
+            self.render_state.return_to_previous_mode()
+            self._process_frame_for_display(0.016)
+
+    def _handle_rotation_stopped(self):
+        """(interaction.py:1415-1433)"""
+        if self.render_state.previous_mode == RenderMode.RAYTRACING:
+            self.render_state.interaction_in_progress = False
+            time.sleep(0.05)
+            self.render_state.set_mode(RenderMode.RAYTRACING)
+            self.restart_rendering()
+        else:
+            self.render_state.return_to_previous_mode()
+            self._process_frame_for_display(0.016)
+
+    @staticmethod
+    def _tone_map(image: np.ndarray, exposure: float) -> np.ndarray:
+        """Reinhard (interaction.py:1435-1439)."""
+        image = image * exposure
+        image = image / (1.0 + image)
+        return np.clip(image, 0.0, 1.0)
+
+    @staticmethod
+    def _enhance_display(image: np.ndarray) -> np.ndarray:
+        """Percentile 2-98 stretch (interaction.py:1441-1449)."""
+        lo = np.percentile(image, 2)
+        hi = np.percentile(image, 98)
+        if hi > lo:
+            return np.clip((image - lo) / (hi - lo), 0, 1)
+        return image
+
+    def _notify_gui(self, what: str):
+        """Best-effort GUI refresh hooks (interaction.py:867-874 etc.)."""
+        if self._gui is None:
+            return
+        try:
+            panel = self._gui.control_panel
+            if what == "object_list":
+                panel.update_object_list()
+            panel.update_object_info()
+            panel.update_material_sliders()
+        except Exception:
+            pass
