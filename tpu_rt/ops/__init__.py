@@ -1,1 +1,1 @@
-from . import integrator, intersect  # noqa: F401
+from . import bvh, integrator, intersect, post, triangle  # noqa: F401

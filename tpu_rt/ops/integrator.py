@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from ..core import rng as rngmod
 from ..core import vecmath as vm
 from ..core.types import SphereScene
-from .intersect import attribute_matrix, intersect_brute
+from .intersect import attribute_matrix, combine_hits, intersect_brute
 
 # RR activates strictly after this many bounces (raytracer_core.cpp:317).
 RR_START_DEPTH = 3
@@ -103,16 +103,23 @@ def trace(
     mode: str = "v2",
     enable_refraction: bool = False,
     with_stats: bool = False,
+    mesh=None,
 ):
     """Trace R rays to completion; returns (R, 3) linear radiance.
 
-    With ``with_stats=True`` also returns the total number of ray segments
-    traced (for Mrays/s accounting, SURVEY.md §5 tracing).
+    ``mesh`` optionally adds a TriangleMesh to the scene: both geometries are
+    intersected per bounce and the nearer surface shades (materials work
+    identically). With ``with_stats=True`` also returns the total number of
+    ray segments traced (for Mrays/s accounting, SURVEY.md §5 tracing).
     """
     if mode not in ("v1", "v2"):
         raise ValueError(f"unknown integrator mode {mode!r}")
     R = origins.shape[0]
     attr = attribute_matrix(scene)
+    if mesh is not None:
+        from .triangle import intersect_mesh_brute, tri_attribute_matrix
+
+        tri_attr = tri_attribute_matrix(mesh)
     if max_depth < 1:
         # The C++ bounce loop body never runs for max_depth < 1
         # (raytracer_core.cpp:297): the result is black.
@@ -127,6 +134,8 @@ def trace(
 
         segs = segs + jnp.sum(act.astype(jnp.int32))
         h = intersect_brute(scene, o, d, attr=attr)
+        if mesh is not None:
+            h = combine_hits(h, intersect_mesh_brute(mesh, o, d, attr=tri_attr))
 
         # Miss: add background through throughput, lane dies
         # (raytracer_core.cpp:306-311; v1 returns background up the chain,

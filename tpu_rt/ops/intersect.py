@@ -222,3 +222,21 @@ def closest_object_id(
         ts = jnp.where(scene.object_id == skip_object_id, T_MAX, ts)
     idx = jnp.argmin(ts)
     return jnp.where(ts[idx] < T_MAX, scene.object_id[idx], -1)
+
+
+def combine_hits(a: Hit, b: Hit) -> Hit:
+    """Merge two closest-hit records (e.g. spheres + triangles): the nearer
+    surface wins per ray."""
+    bw = b.t < a.t
+    bw3 = bw[:, None]
+    return Hit(
+        hit=a.hit | b.hit,
+        t=jnp.where(bw, b.t, a.t),
+        normal=jnp.where(bw3, b.normal, a.normal),
+        albedo=jnp.where(bw3, b.albedo, a.albedo),
+        metallic=jnp.where(bw, b.metallic, a.metallic),
+        roughness=jnp.where(bw, b.roughness, a.roughness),
+        emission=jnp.where(bw3, b.emission, a.emission),
+        ior=jnp.where(bw, b.ior, a.ior),
+        object_id=jnp.where(bw, b.object_id, a.object_id),
+    )

@@ -46,12 +46,15 @@ def render(
     gamma: bool = True,
     jitter: bool = True,
     with_stats: bool = False,
+    mesh=None,
 ):
     """Render one batch of ``spp`` samples; returns (height, width, 3) f32.
 
     ``jitter=False`` shoots rays through pixel centers — the deterministic
     mode used for golden-image parity tests against the C++ reference.
     ``with_stats=True`` additionally returns traced ray-segment count.
+    ``mesh`` optionally adds a TriangleMesh to the scene (nearer surface
+    wins per bounce).
     """
     R = height * width
 
@@ -69,6 +72,7 @@ def render(
             scene, o, d, k_trace,
             max_depth=max_depth, mode=mode,
             enable_refraction=enable_refraction, with_stats=True,
+            mesh=mesh,
         )
         return (acc + color, segs + nseg), None
 
