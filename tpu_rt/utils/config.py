@@ -1,0 +1,69 @@
+"""Typed render configuration.
+
+The reference's entire config system is one mutable dict of 11 keys defined
+inline (interaction.py:587-599) and mutated directly by GUI handlers. Here
+the same keys/defaults live in a dataclass with validation, while staying
+dict-compatible (``cfg["max_samples"]`` and ``cfg.max_samples`` both work)
+so GUI-shaped code keeps running.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+from typing import List
+
+
+@dataclass
+class RenderSettings:
+    """Defaults exactly as the reference (interaction.py:587-599)."""
+
+    max_samples: int = 32
+    samples_per_batch: int = 8
+    max_depth: int = 4
+    exposure: float = 1.5
+    enhance_image: bool = True
+    show_denoisers: bool = False
+    selected_denoisers: List[str] = field(default_factory=lambda: ["bilateral"])
+    selected_object: int = 1
+    move_speed: float = 0.3
+    camera_move_speed: float = 0.1
+    camera_rotate_speed: float = 0.5
+
+    # GUI slider ranges (gui.py:167-245): clamp on assignment
+    _RANGES = {
+        "max_samples": (1, 1024),
+        "samples_per_batch": (1, 64),
+        "max_depth": (1, 32),
+        "exposure": (0.1, 5.0),
+    }
+
+    def __post_init__(self):
+        for k in self._RANGES:
+            self[k] = self[k]  # clamp initial values too
+
+    # -- dict compatibility -------------------------------------------------
+    def __getitem__(self, key: str):
+        return getattr(self, key)
+
+    def __setitem__(self, key: str, value):
+        if key in self._RANGES:
+            lo, hi = self._RANGES[key]
+            value = type(lo)(min(hi, max(lo, value)))
+        setattr(self, key, value)
+
+    def __contains__(self, key: str) -> bool:
+        return key in {f.name for f in fields(self)}
+
+    def keys(self):
+        return [f.name for f in fields(self)]
+
+    def update(self, *args, **kwargs):
+        for src in args + (kwargs,):
+            for k, v in dict(src).items():
+                self[k] = v
+
+    def get(self, key: str, default=None):
+        return getattr(self, key, default)
+
+    def as_dict(self) -> dict:
+        return {f.name: getattr(self, f.name) for f in fields(self)}
