@@ -17,6 +17,23 @@ Layer map (mirrors SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compile cache: render-pipeline compiles take minutes on a
+# slow host; cached reloads are near-instant. Harmless if already set.
+_cache_dir = _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.expanduser("~/.cache/jax_comp"),
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is an optimization only
+    pass
+
 from .core.types import (  # noqa: F401
     CameraP,
     SphereScene,
