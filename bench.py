@@ -5,8 +5,13 @@ Prints ONE JSON line:
 
 Baseline target (BASELINE.md / BASELINE.json): >= 100 Mrays/s per chip at
 1080p. "Rays" counts actual traced ray segments (primary + bounces +
-RR-survivors), the standard Mrays/s accounting; primary-only throughput and
-frame time are reported as extra fields for context.
+RR survivors). The headline value is steady-state throughput: frames chained
+on device (10 per dispatch), which is how a progressive renderer runs;
+single-dispatch latency — which on this host includes a ~25 ms tunnel
+round-trip that is not chip time — is reported in extras.
+
+Engine: the fused Pallas megakernel (tpu_rt/ops/pallas_megakernel.py); the
+XLA lax pipeline number is reported alongside for reference.
 """
 
 from __future__ import annotations
@@ -16,53 +21,87 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 WIDTH, HEIGHT, SPP, DEPTH = 1920, 1080, 4, 4
 BASELINE_MRAYS = 100.0
-REPEATS = 5
+CHAIN = 10
+REPEATS = 3
 
 
 def main() -> None:
-    from tpu_rt.core.types import demo_scene, make_camera
+    import tpu_rt
+    from tpu_rt.ops.pallas_megakernel import render_pallas
     from tpu_rt.render.frame import render
 
     dev = jax.devices()[0]
-    scene = jax.device_put(demo_scene(), dev)
-    cam = jax.device_put(make_camera(aspect=WIDTH / HEIGHT), dev)
+    scene = jax.device_put(tpu_rt.demo_scene(), dev)
+    cam = jax.device_put(tpu_rt.make_camera(aspect=WIDTH / HEIGHT), dev)
 
-    def step(key):
-        return render(scene, cam, key, width=WIDTH, height=HEIGHT, spp=SPP,
-                      max_depth=DEPTH, with_stats=True)
-
-    # Warmup / compile
-    img, segs = step(jax.random.key(0))
-    img.block_until_ready()
+    # segments per frame (for Mrays accounting)
+    img, segs = render_pallas(scene, cam, 0, width=WIDTH, height=HEIGHT,
+                              spp=SPP, max_depth=DEPTH, with_stats=True)
+    _ = float(jnp.sum(img))
     segments = int(segs)
 
-    times = []
-    for i in range(REPEATS):
-        key = jax.random.key(i + 1)
+    # steady-state: CHAIN frames chained in one dispatch
+    @jax.jit
+    def chained(seed0):
+        def body(i, acc):
+            frame = render_pallas(scene, cam, seed0 + i, width=WIDTH,
+                                  height=HEIGHT, spp=SPP, max_depth=DEPTH)
+            return acc + jnp.sum(frame)
+        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
+
+    _ = float(chained(jnp.int32(0)))  # compile
+    chain_times = []
+    for k in range(REPEATS):
         t0 = time.perf_counter()
-        img, segs = step(key)
-        img.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+        _ = float(chained(jnp.int32(1 + k * CHAIN)))
+        chain_times.append((time.perf_counter() - t0) / CHAIN)
+    frame_s = float(np.median(chain_times))
+
+    # single-dispatch latency (includes host->chip round trip)
+    lat = []
+    for k in range(REPEATS):
+        t0 = time.perf_counter()
+        out = render_pallas(scene, cam, 100 + k, width=WIDTH, height=HEIGHT,
+                            spp=SPP, max_depth=DEPTH)
+        _ = float(jnp.sum(out))
+        lat.append(time.perf_counter() - t0)
+    dispatch_s = float(np.median(lat))
+
+    # lax pipeline reference point
+    out2, segs2 = render(scene, cam, jax.random.key(0), width=WIDTH,
+                         height=HEIGHT, spp=SPP, max_depth=DEPTH,
+                         with_stats=True, engine="lax")
+    _ = float(jnp.sum(out2))
+    t0 = time.perf_counter()
+    out2, _ = render(scene, cam, jax.random.key(1), width=WIDTH, height=HEIGHT,
+                     spp=SPP, max_depth=DEPTH, with_stats=True, engine="lax")
+    _ = float(jnp.sum(out2))
+    lax_s = time.perf_counter() - t0
 
     primary = WIDTH * HEIGHT * SPP
-    mrays = segments / dt / 1e6
+    mrays = segments / frame_s / 1e6
     out = {
         "metric": "traced_mrays_per_s_1080p_4spp_depth4",
-        "value": round(mrays, 2),
+        "value": round(mrays, 1),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 2),
         "extras": {
-            "frame_time_ms": round(dt * 1e3, 2),
-            "primary_mrays_per_s": round(primary / dt / 1e6, 2),
+            "engine": "pallas_megakernel",
+            "frame_time_ms_steady_state": round(frame_s * 1e3, 2),
+            "single_dispatch_latency_ms": round(dispatch_s * 1e3, 2),
+            "primary_mrays_per_s": round(primary / frame_s / 1e6, 1),
             "segments_per_frame": segments,
             "avg_bounces_per_primary": round(segments / primary, 3),
+            "lax_engine_frame_ms": round(lax_s * 1e3, 1),
+            "reference_cpu_primary_mrays_per_s": 2.79,
+            "speedup_vs_reference_cpu": round(
+                (primary / frame_s / 1e6) / 2.79, 1),
             "device": str(dev),
-            "times_ms": [round(t * 1e3, 2) for t in times],
         },
     }
     print(json.dumps(out))

@@ -1,0 +1,373 @@
+"""Pallas TPU megakernel: the full path-trace loop fused in VMEM.
+
+The lax pipeline (tpu_rt.ops.integrator) is a chain of XLA ops: every bounce
+reads and writes the whole wavefront's SoA state through HBM ~dozens of
+times. This kernel fuses camera ray generation, the bounce loop (16-sphere
+intersection, shading, Russian roulette, scatter sampling), spp accumulation
+and gamma into ONE Pallas program per 4096-ray tile: ray state lives
+entirely in VMEM registers as (32, 128) component planes, and the only HBM
+traffic is the final (3, tile) color store — the speed-of-light memory
+profile for this workload.
+
+Layout choices (see /opt/skills/guides/pallas_guide.md):
+  * vectors are three separate (SUBLANES, 128) f32 planes — never a
+    trailing dim of 3, which would waste 125/128 lanes;
+  * the sphere loop is a static unroll over the padded bucket (16): per
+    sphere it is pure VPU elementwise work on the planes, with running
+    min + select for the winner's attributes (no gathers);
+  * randomness is the in-kernel TPU PRNG (pltpu.prng_random_bits), seeded
+    per (frame seed, tile, sample) — deterministic and independent per tile;
+    directions are sampled sphere-analytically (z = 1-2u, phi = 2 pi u,
+    radius = cbrt(u)) so no rejection loops and no Box-Muller transcendental
+    pressure beyond sin/cos/cbrt.
+
+Estimator: the v2 reference semantics (PathTracer::trace_ray,
+cpp_raytracer/raytracer_core.cpp:291-351): miss adds throughput x
+background; emission adds before RR; RR after 3 bounces with
+p = clamp(max throughput, 0.1, 0.95) and survivor compensation; metal
+(metallic > 0) mirrors with roughness jitter, else diffuse
+normalize(normal + hemisphere-ball). Distribution-exact vs the lax path,
+stream-different (different PRNG), so images agree statistically — verified
+in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import CameraP, SphereScene, T_MAX
+from ..core import camera as cammod
+
+SUBLANES = 32
+LANES = 128
+TILE = SUBLANES * LANES  # rays per program
+
+_INV_U32 = 2.3283064365386963e-10  # 1 / 2^32 (PCG32::random_float scale)
+TWO_PI = 6.2831853071795864
+
+
+def _uniform(shape):
+    """U[0,1) from the in-kernel PRNG.
+
+    Mosaic has no uint32 -> f32 cast; keep the top 24 bits (logical shift on
+    the int32 view keeps the value positive) and scale by 2^-24.
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    hi24 = jax.lax.shift_right_logical(bits, 8)
+    return hi24.astype(jnp.float32) * (1.0 / 16777216.0)
+
+
+def _rsqrt_safe(x):
+    return jax.lax.rsqrt(jnp.maximum(x, 1e-20))
+
+
+def _unit_ball(shape):
+    """Uniform in the unit ball: uniform direction x cbrt-radius."""
+    u1 = _uniform(shape)
+    u2 = _uniform(shape)
+    u3 = _uniform(shape)
+    z = 1.0 - 2.0 * u1
+    r_xy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = TWO_PI * u2
+    x = r_xy * jnp.cos(phi)
+    y = r_xy * jnp.sin(phi)
+    # cbrt via exp/log (no cbrt primitive in Mosaic); u3 == 0 -> r == 0
+    r = jnp.exp(jnp.log(jnp.maximum(u3, 1e-12)) * (1.0 / 3.0))
+    return x * r, y * r, z * r
+
+
+def _normalize3(x, y, z):
+    inv = _rsqrt_safe(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
+                 rr_start=3):
+    """Build the kernel body for static (w, h, spp, depth, N)."""
+
+    def kernel(cam_ref, attr_ref, bg_ref, seed_ref, out_ref, segs_ref):
+        t = pl.program_id(0)
+        # unique, deterministic stream per (frame, tile)
+        pltpu.prng_seed(seed_ref[0] + t)
+
+        # camera scalars (packed by host): pos, forward, right, up, tf*aspect, tf
+        cpx, cpy, cpz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+        fwx, fwy, fwz = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+        rix, riy, riz = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+        upx, upy, upz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+        tf_aspect, tf = cam_ref[0, 12], cam_ref[0, 13]
+        bgx, bgy, bgz = bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2]
+
+        shape = (SUBLANES, LANES)
+        sub = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        flat = t * TILE + sub * LANES + lane
+        px = (flat % width).astype(jnp.float32)
+        py = (flat // width).astype(jnp.float32)
+
+        inv_w = 1.0 / width
+        inv_h = 1.0 / height
+
+        def sample_body(_s, acc):
+            acc_r, acc_g, acc_b, seg_count = acc
+            # jittered pixel coords (raytracer_core.cpp:390-392);
+            # jitter=False shoots pixel centers (deterministic goldens)
+            if jitter:
+                xu = _uniform(shape)
+                xv = _uniform(shape)
+            else:
+                xu = xv = 0.5
+            u = (px + xu) * inv_w
+            v = (py + xv) * inv_h
+            # v1 camera mapping (old/raytracer_core copy.h:160-184)
+            vx = (u - 0.5) * 2.0 * tf_aspect
+            vy = (0.5 - v) * 2.0 * tf
+            dx = fwx + rix * vx + upx * vy
+            dy = fwy + riy * vx + upy * vy
+            dz = fwz + riz * vx + upz * vy
+            dx, dy, dz = _normalize3(dx, dy, dz)
+            ox = jnp.full(shape, cpx)
+            oy = jnp.full(shape, cpy)
+            oz = jnp.full(shape, cpz)
+
+            thr_r = jnp.ones(shape, jnp.float32)
+            thr_g = jnp.ones(shape, jnp.float32)
+            thr_b = jnp.ones(shape, jnp.float32)
+            col_r = jnp.zeros(shape, jnp.float32)
+            col_g = jnp.zeros(shape, jnp.float32)
+            col_b = jnp.zeros(shape, jnp.float32)
+            active = jnp.ones(shape, jnp.bool_)
+
+            state = (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+                     col_r, col_g, col_b, active, seg_count)
+
+            def bounce(depth_idx, st):
+                (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb, act,
+                 seg_count) = st
+                seg_count = seg_count + jnp.sum(act.astype(jnp.int32))
+
+                # ---- intersect all spheres, unrolled ----
+                best_t = jnp.full(shape, T_MAX)
+                b_cx = jnp.zeros(shape, jnp.float32)
+                b_cy = jnp.zeros(shape, jnp.float32)
+                b_cz = jnp.zeros(shape, jnp.float32)
+                b_ir = jnp.zeros(shape, jnp.float32)   # 1/r
+                b_ar = jnp.zeros(shape, jnp.float32)   # albedo
+                b_ag = jnp.zeros(shape, jnp.float32)
+                b_ab = jnp.zeros(shape, jnp.float32)
+                b_met = jnp.zeros(shape, jnp.float32)
+                b_rgh = jnp.zeros(shape, jnp.float32)
+                b_er = jnp.zeros(shape, jnp.float32)   # emission
+                b_eg = jnp.zeros(shape, jnp.float32)
+                b_eb = jnp.zeros(shape, jnp.float32)
+
+                for n in range(n_spheres):
+                    # attr row layout matches intersect.attribute_matrix
+                    scx, scy, scz = attr_ref[n, 0], attr_ref[n, 1], attr_ref[n, 2]
+                    rad = attr_ref[n, 3]
+                    inv_rad = attr_ref[n, 14]
+                    ocx = ox - scx
+                    ocy = oy - scy
+                    ocz = oz - scz
+                    half_b = ocx * dx + ocy * dy + ocz * dz
+                    cq = (ocx * ocx + ocy * ocy + ocz * ocz) - rad * rad
+                    disc = half_b * half_b - cq  # a == 1 (d normalized)
+                    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    root0 = -half_b - sqrtd
+                    root1 = -half_b + sqrtd
+                    in0 = (root0 >= 1e-3) & (root0 <= best_t)
+                    in1 = (root1 >= 1e-3) & (root1 <= best_t)
+                    root = jnp.where(in0, root0, root1)
+                    ok = (disc >= 0.0) & (in0 | in1) & (inv_rad > 0.0)
+                    better = ok & (root < best_t)
+                    best_t = jnp.where(better, root, best_t)
+                    b_cx = jnp.where(better, scx, b_cx)
+                    b_cy = jnp.where(better, scy, b_cy)
+                    b_cz = jnp.where(better, scz, b_cz)
+                    b_ir = jnp.where(better, inv_rad, b_ir)
+                    b_ar = jnp.where(better, attr_ref[n, 4], b_ar)
+                    b_ag = jnp.where(better, attr_ref[n, 5], b_ag)
+                    b_ab = jnp.where(better, attr_ref[n, 6], b_ab)
+                    b_met = jnp.where(better, attr_ref[n, 7], b_met)
+                    b_rgh = jnp.where(better, attr_ref[n, 8], b_rgh)
+                    b_er = jnp.where(better, attr_ref[n, 9], b_er)
+                    b_eg = jnp.where(better, attr_ref[n, 10], b_eg)
+                    b_eb = jnp.where(better, attr_ref[n, 11], b_eb)
+
+                hit = best_t < T_MAX
+                miss = act & ~hit
+                missf = miss.astype(jnp.float32)
+                cr = cr + missf * tr * bgx
+                cg = cg + missf * tg * bgy
+                cb = cb + missf * tb * bgz
+                act = act & hit
+                actf = act.astype(jnp.float32)
+                cr = cr + actf * tr * b_er
+                cg = cg + actf * tg * b_eg
+                cb = cb + actf * tb * b_eb
+
+                # ---- Russian roulette (raytracer_core.cpp:317-329) ----
+                # depth_idx is a static Python int (the bounce loop is
+                # unrolled), so early bounces skip RR entirely.
+                if depth_idx > rr_start:
+                    xi_rr = _uniform(shape)
+                    p = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)),
+                                 0.1, 0.95)
+                    act = act & (xi_rr < p)
+                    comp = jnp.where(act, 1.0 / p, 1.0)
+                    tr = tr * comp
+                    tg = tg * comp
+                    tb = tb * comp
+
+                # ---- hit point + normal ----
+                hx = ox + dx * best_t
+                hy = oy + dy * best_t
+                hz = oz + dz * best_t
+                nx = (hx - b_cx) * b_ir
+                ny = (hy - b_cy) * b_ir
+                nz = (hz - b_cz) * b_ir
+
+                # ---- scatter (raytracer_core.cpp:334-347) ----
+                bx, by, bz = _unit_ball(shape)
+                d_dot_n = _dot3(dx, dy, dz, nx, ny, nz)
+                rfx = dx - 2.0 * d_dot_n * nx
+                rfy = dy - 2.0 * d_dot_n * ny
+                rfz = dz - 2.0 * d_dot_n * nz
+                mx, my, mz = _normalize3(rfx + bx * b_rgh,
+                                         rfy + by * b_rgh,
+                                         rfz + bz * b_rgh)
+                side = _dot3(bx, by, bz, nx, ny, nz) > 0.0
+                sgn = jnp.where(side, 1.0, -1.0)
+                fx, fy, fz = _normalize3(nx + bx * sgn, ny + by * sgn,
+                                         nz + bz * sgn)
+                is_metal = b_met > 0.0
+                ndx = jnp.where(is_metal, mx, fx)
+                ndy = jnp.where(is_metal, my, fy)
+                ndz = jnp.where(is_metal, mz, fz)
+
+                tr = tr * b_ar
+                tg = tg * b_ag
+                tb = tb * b_ab
+                ox = jnp.where(act, hx, ox)
+                oy = jnp.where(act, hy, oy)
+                oz = jnp.where(act, hz, oz)
+                dx = jnp.where(act, ndx, dx)
+                dy = jnp.where(act, ndy, dy)
+                dz = jnp.where(act, ndz, dz)
+                return (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb, act,
+                        seg_count)
+
+            # static unroll over bounces: depth is small (GUI max 32) and
+            # unrolling lets Mosaic keep everything in registers
+            for depth_idx in range(1, max_depth + 1):
+                state = bounce(depth_idx, state)
+
+            (_, _, _, _, _, _, _, _, _, col_r, col_g, col_b, _,
+             seg_count) = state
+            return (acc_r + col_r, acc_g + col_g, acc_b + col_b, seg_count)
+
+        zeros = jnp.zeros(shape, jnp.float32)
+        acc_r, acc_g, acc_b, segs = jax.lax.fori_loop(
+            0, spp, sample_body, (zeros, zeros, zeros, jnp.int32(0)))
+        segs_ref[t] = segs
+
+        inv_spp = 1.0 / spp
+        out_ref[0, 0] = jnp.clip(
+            jnp.sqrt(jnp.maximum(acc_r * inv_spp, 0.0)), 0.0, 1.0)
+        out_ref[1, 0] = jnp.clip(
+            jnp.sqrt(jnp.maximum(acc_g * inv_spp, 0.0)), 0.0, 1.0)
+        out_ref[2, 0] = jnp.clip(
+            jnp.sqrt(jnp.maximum(acc_b * inv_spp, 0.0)), 0.0, 1.0)
+
+    return kernel
+
+
+def _pack_camera(cam: CameraP) -> jnp.ndarray:
+    forward, right, up = cammod.basis(cam)
+    tf = cammod.tan_half_fov(cam)
+    return jnp.concatenate([
+        cam.position, forward, right, up,
+        jnp.stack([tf * cam.aspect, tf, jnp.float32(0.0)]),
+    ]).reshape(1, 15).astype(jnp.float32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "jitter",
+                     "with_stats", "interpret"),
+)
+def render_pallas(
+    scene: SphereScene,
+    cam: CameraP,
+    seed: jnp.ndarray,
+    width: int = 1920,
+    height: int = 1080,
+    spp: int = 4,
+    max_depth: int = 4,
+    jitter: bool = True,
+    with_stats: bool = False,
+    interpret: bool = False,
+):
+    """Fused single-chip render; returns (height, width, 3) f32 in [0, 1].
+
+    v2 estimator, sphere scenes (bucket <= a few hundred unrolls), sqrt
+    gamma. ``seed`` is an int32 scalar; frames advance it for progressive
+    accumulation.
+    """
+    from .intersect import attribute_matrix
+
+    n_pix = width * height
+    n_tiles = pl.cdiv(n_pix, TILE)
+    n_spheres = scene.capacity
+
+    attr = attribute_matrix(scene)
+    cam_packed = _pack_camera(cam)
+    bg = scene.background.reshape(1, 3)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    kernel = _make_kernel(width, height, spp, max_depth, n_spheres,
+                          jitter=jitter)
+    out, segs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # camera scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere attributes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # background
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (3, 1, SUBLANES, LANES), lambda t: (0, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # full-array SMEM block: grid steps run sequentially on TPU,
+            # each program writes its own slot
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n_tiles, SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles,), jnp.int32),
+        ),
+        interpret=interpret,
+    )(cam_packed, attr, bg, seed_arr)
+
+    img = out.reshape(3, n_tiles * TILE)[:, :n_pix]
+    img = jnp.moveaxis(img, 0, -1).reshape(height, width, 3)
+    if with_stats:
+        # padding-tile lanes trace rays too; report real-pixel segments by
+        # scaling (bounded correction, exact when n_pix % TILE == 0)
+        total = jnp.sum(segs)
+        scale = n_pix / (n_tiles * TILE)
+        return img, (total.astype(jnp.float32) * scale).astype(jnp.int32)
+    return img

@@ -26,13 +26,34 @@ from ..core.types import CameraP, SphereScene
 from ..ops.integrator import trace
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "width", "height", "spp", "max_depth", "mode",
-        "enable_refraction", "gamma", "jitter", "with_stats",
-    ),
-)
+def _on_tpu(scene) -> bool:
+    """True when the scene's arrays live (or will live) on a TPU device."""
+    try:
+        devs = getattr(scene.center, "devices", None)
+        if devs is not None:
+            return any("tpu" in str(d).lower() for d in devs())
+    except Exception:
+        pass
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return "tpu" in str(dev).lower()
+    return jax.default_backend() == "tpu"
+
+
+def _pallas_eligible(scene, mode, enable_refraction, gamma, mesh) -> bool:
+    """The fused megakernel covers the production configuration: v2
+    estimator, sphere scenes up to a modest bucket (the sphere loop is
+    unrolled), sqrt-gamma output, on a TPU backend."""
+    return (
+        mode == "v2"
+        and not enable_refraction
+        and gamma
+        and mesh is None
+        and scene.capacity <= 64
+        and _on_tpu(scene)
+    )
+
+
 def render(
     scene: SphereScene,
     cam: CameraP,
@@ -47,6 +68,7 @@ def render(
     jitter: bool = True,
     with_stats: bool = False,
     mesh=None,
+    engine: str = "auto",
 ):
     """Render one batch of ``spp`` samples; returns (height, width, 3) f32.
 
@@ -54,8 +76,44 @@ def render(
     mode used for golden-image parity tests against the C++ reference.
     ``with_stats=True`` additionally returns traced ray-segment count.
     ``mesh`` optionally adds a TriangleMesh to the scene (nearer surface
-    wins per bounce).
+    wins per bounce). ``engine``: "auto" picks the fused Pallas megakernel
+    when the configuration allows (v2 / spheres / gamma / TPU), else the
+    XLA lax pipeline; "pallas"/"lax" force one.
     """
+    if engine not in ("auto", "pallas", "lax"):
+        raise ValueError(f"unknown engine {engine!r}")
+    use_pallas = engine == "pallas" or (
+        engine == "auto"
+        and _pallas_eligible(scene, mode, enable_refraction, gamma, mesh)
+    )
+    if use_pallas:
+        from ..ops.pallas_megakernel import render_pallas
+
+        seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
+        return render_pallas(
+            scene, cam, seed, width=width, height=height, spp=spp,
+            max_depth=max_depth, jitter=jitter, with_stats=with_stats,
+        )
+    return _render_lax(
+        scene, cam, key, width=width, height=height, spp=spp,
+        max_depth=max_depth, mode=mode, enable_refraction=enable_refraction,
+        gamma=gamma, jitter=jitter, with_stats=with_stats, mesh=mesh,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_depth", "mode",
+        "enable_refraction", "gamma", "jitter", "with_stats",
+    ),
+)
+def _render_lax(
+    scene, cam, key, *, width, height, spp, max_depth, mode,
+    enable_refraction, gamma, jitter, with_stats, mesh,
+):
+    """XLA lax render pipeline (general path: any estimator mode, meshes,
+    linear output, CPU backends)."""
     R = height * width
 
     def sample_pass(carry, s):
