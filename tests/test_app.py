@@ -233,3 +233,31 @@ def test_reset_camera(rti):
     rti.camera.position = Vector3(5, 5, 5)
     rti.reset_camera_and_rerender()
     assert rti.camera.position.z == 5 and rti.camera.position.y == 2
+
+
+def test_session_save_load(rti, tmp_path):
+    rti.start_rendering()
+    frames = drain(rti)
+    assert rti.total_samples == 4
+    # raise the target before saving so the restored session has headroom
+    rti.settings["max_samples"] = 8
+    path = str(tmp_path / "sess.npz")
+    rti.save_session(path)
+
+    # fresh runtime, restore: accumulator and settings resume
+    r2 = RayTracerInteraction(48, 36)
+    try:
+        r2.load_session(path)
+        assert r2.settings["max_samples"] == 8
+        # progressive render continues beyond the restored sample count
+        frames = drain(r2)
+        assert r2.total_samples == 8
+    finally:
+        r2.stop_rendering()
+
+
+def test_frame_stats_tracked(rti):
+    rti.start_rendering()
+    drain(rti)
+    assert rti.frame_stats.times, "no frame timings recorded"
+    assert rti.frame_stats.mrays_per_s > 0

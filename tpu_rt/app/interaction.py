@@ -358,6 +358,11 @@ class RayTracerInteraction:
         self._gui = None
         self._last_manual_movement = 0.0
 
+        # rolling perf counters (SURVEY.md §5 tracing: ms/frame, Mrays/s)
+        from ..utils import FrameStats
+
+        self.frame_stats = FrameStats()
+
         self.camera_move_active = True
         self.camera_move_thread = threading.Thread(
             target=self._camera_move_worker, daemon=True)
@@ -674,6 +679,66 @@ class RayTracerInteraction:
         if t is not None and t.is_alive():
             t.join(timeout=5.0)
 
+    # ------------------------------------------------------------------
+    # session checkpoint / resume (new capability; the reference has no
+    # persistence — SURVEY.md §5)
+    # ------------------------------------------------------------------
+
+    def save_session(self, path: str):
+        """Snapshot scene + camera + settings + progressive accumulator."""
+        from ..utils import save_checkpoint
+
+        with self.render_lock:
+            save_checkpoint(
+                path, self.scene, self.camera,
+                dict(self.settings) if not isinstance(self.settings, dict)
+                else self.settings,
+                self.accumulated_image, self.total_samples,
+            )
+
+    def load_session(self, path: str):
+        """Restore a saved session and resume progressive rendering from the
+        checkpointed accumulator."""
+        from ..utils import load_checkpoint
+
+        scene, camera, settings, acc, total = load_checkpoint(path)
+        with self.render_lock:
+            self.render_state.is_rendering = False
+            time.sleep(0.02)
+            self.scene = scene
+            self.camera = camera
+            self.settings.update(settings)
+            self.ray_tracer.set_scene(scene)
+            self.ray_tracer.set_camera(camera)
+            self.camera_controller.camera = camera
+            self.camera_controller.update_camera_frame()
+            self.object_dragger.scene = scene
+            self.renderer.camera = camera
+            self.renderer.scene = scene
+            self.accumulated_image = acc
+            self.total_samples = total
+            self.frame_queue = Queue()
+            if acc is not None and acc.shape[:2] != (self.height, self.width):
+                self.accumulated_image = None
+                self.total_samples = 0
+        self.resume_rendering()
+
+    def resume_rendering(self):
+        """Start the render worker WITHOUT zeroing the accumulator (unlike
+        start_rendering) — continues a restored or paused progressive
+        session."""
+        with self.render_lock:
+            if self.render_state.is_rendering:
+                return
+            if self.accumulated_image is None:
+                self.accumulated_image = np.zeros(
+                    (self.height, self.width, 3), np.float32)
+                self.total_samples = 0
+            self.render_state.is_rendering = True
+            self._render_thread = threading.Thread(
+                target=self._render_worker, daemon=True)
+            self._render_thread.start()
+
     def has_frames(self) -> bool:
         return not self.frame_queue.empty()
 
@@ -705,6 +770,8 @@ class RayTracerInteraction:
                     (self.height, self.width, 3))
                 render_time = time.time() - start
                 n = self.settings["samples_per_batch"]
+                self.frame_stats.record(
+                    max(render_time, 1e-9), self.width * self.height * n)
                 if self.total_samples == 0:
                     self.accumulated_image = batch
                     self.total_samples = n
