@@ -92,7 +92,7 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 
 def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
-                 rr_start=3):
+                 enable_refraction=False, rr_start=3):
     """Build the kernel body for static (w, h, spp, depth, N)."""
 
     def kernel(cam_ref, attr_ref, bg_ref, seed_ref, out_ref, segs_ref):
@@ -151,7 +151,7 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
             state = (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
                      col_r, col_g, col_b, active, seg_count)
 
-            def bounce(depth_idx, st):
+            def bounce(rr_on, st):
                 (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb, act,
                  seg_count) = st
                 seg_count = seg_count + jnp.sum(act.astype(jnp.int32))
@@ -170,6 +170,7 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
                 b_er = jnp.zeros(shape, jnp.float32)   # emission
                 b_eg = jnp.zeros(shape, jnp.float32)
                 b_eb = jnp.zeros(shape, jnp.float32)
+                b_ior = jnp.ones(shape, jnp.float32)
 
                 for n in range(n_spheres):
                     # attr row layout matches intersect.attribute_matrix
@@ -203,6 +204,8 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
                     b_er = jnp.where(better, attr_ref[n, 9], b_er)
                     b_eg = jnp.where(better, attr_ref[n, 10], b_eg)
                     b_eb = jnp.where(better, attr_ref[n, 11], b_eb)
+                    if enable_refraction:
+                        b_ior = jnp.where(better, attr_ref[n, 12], b_ior)
 
                 hit = best_t < T_MAX
                 miss = act & ~hit
@@ -217,9 +220,8 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
                 cb = cb + actf * tb * b_eb
 
                 # ---- Russian roulette (raytracer_core.cpp:317-329) ----
-                # depth_idx is a static Python int (the bounce loop is
-                # unrolled), so early bounces skip RR entirely.
-                if depth_idx > rr_start:
+                # rr_on is static: early bounces skip the RR code entirely.
+                if rr_on:
                     xi_rr = _uniform(shape)
                     p = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)),
                                  0.1, 0.95)
@@ -255,6 +257,41 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
                 ndy = jnp.where(is_metal, my, fy)
                 ndz = jnp.where(is_metal, mz, fz)
 
+                if enable_refraction:
+                    # dielectric branch (FastMath::refract/schlick,
+                    # raytracer_core.h:297-312, front-face aware)
+                    cos_in = _dot3(dx, dy, dz, nx, ny, nz)
+                    front = cos_in < 0.0
+                    sgn_n = jnp.where(front, 1.0, -1.0)
+                    nex, ney, nez = nx * sgn_n, ny * sgn_n, nz * sgn_n
+                    eta = jnp.where(front, 1.0 / b_ior, b_ior)
+                    dt = _dot3(dx, dy, dz, nex, ney, nez)
+                    disc_g = 1.0 - eta * eta * (1.0 - dt * dt)
+                    can = disc_g > 0.0
+                    sq_g = jnp.sqrt(jnp.maximum(disc_g, 0.0))
+                    rfrx = (dx - nex * dt) * eta - nex * sq_g
+                    rfry = (dy - ney * dt) * eta - ney * sq_g
+                    rfrz = (dz - nez * dt) * eta - nez * sq_g
+                    cosine = jnp.minimum(-dt, 1.0)
+                    r0 = (1.0 - b_ior) / (1.0 + b_ior)
+                    r0 = r0 * r0
+                    omc = 1.0 - cosine
+                    omc2 = omc * omc
+                    schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
+                    reflect_prob = jnp.where(can, schlick, 1.0)
+                    use_refl = _uniform(shape) < reflect_prob
+                    rf2x = dx - 2.0 * dt * nex
+                    rf2y = dy - 2.0 * dt * ney
+                    rf2z = dz - 2.0 * dt * nez
+                    gx = jnp.where(use_refl, rf2x, rfrx)
+                    gy = jnp.where(use_refl, rf2y, rfry)
+                    gz = jnp.where(use_refl, rf2z, rfrz)
+                    gx, gy, gz = _normalize3(gx, gy, gz)
+                    is_glass = (b_met <= 0.0) & (b_rgh <= 0.0) & (b_ior > 1.0)
+                    ndx = jnp.where(is_glass, gx, ndx)
+                    ndy = jnp.where(is_glass, gy, ndy)
+                    ndz = jnp.where(is_glass, gz, ndz)
+
                 tr = tr * b_ar
                 tg = tg * b_ag
                 tb = tb * b_ab
@@ -267,10 +304,13 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
                 return (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb, act,
                         seg_count)
 
-            # static unroll over bounces: depth is small (GUI max 32) and
-            # unrolling lets Mosaic keep everything in registers
+            # Full static unroll over bounces: no loop overhead, static RR
+            # gating, everything in registers. (A fori_loop here would nest
+            # inside the spp fori_loop, which the Mosaic compiler rejects.)
+            # Depth 32 costs ~4 min of one-time, persistently-cached compile;
+            # runtime is unaffected.
             for depth_idx in range(1, max_depth + 1):
-                state = bounce(depth_idx, state)
+                state = bounce(depth_idx > rr_start, state)
 
             (_, _, _, _, _, _, _, _, _, col_r, col_g, col_b, _,
              seg_count) = state
@@ -304,7 +344,7 @@ def _pack_camera(cam: CameraP) -> jnp.ndarray:
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "jitter",
-                     "with_stats", "interpret"),
+                     "enable_refraction", "with_stats", "interpret"),
 )
 def render_pallas(
     scene: SphereScene,
@@ -315,6 +355,7 @@ def render_pallas(
     spp: int = 4,
     max_depth: int = 4,
     jitter: bool = True,
+    enable_refraction: bool = False,
     with_stats: bool = False,
     interpret: bool = False,
 ):
@@ -336,7 +377,7 @@ def render_pallas(
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
     kernel = _make_kernel(width, height, spp, max_depth, n_spheres,
-                          jitter=jitter)
+                          jitter=jitter, enable_refraction=enable_refraction)
     out, segs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

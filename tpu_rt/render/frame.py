@@ -46,7 +46,6 @@ def _pallas_eligible(scene, mode, enable_refraction, gamma, mesh) -> bool:
     unrolled), sqrt-gamma output, on a TPU backend."""
     return (
         mode == "v2"
-        and not enable_refraction
         and gamma
         and mesh is None
         and scene.capacity <= 64
@@ -92,7 +91,8 @@ def render(
         seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
         return render_pallas(
             scene, cam, seed, width=width, height=height, spp=spp,
-            max_depth=max_depth, jitter=jitter, with_stats=with_stats,
+            max_depth=max_depth, jitter=jitter,
+            enable_refraction=enable_refraction, with_stats=with_stats,
         )
     return _render_lax(
         scene, cam, key, width=width, height=height, spp=spp,
