@@ -349,6 +349,7 @@ class RayTracer:
         self._scene_snapshot = Scene()
         self._scene_arrays: _T.SphereScene | None = None
         self._key = jax.random.key(seed)
+        self._seed_base = int(seed) + 1
         self._frame = 0
         self._mode = mode
         self._enable_refraction = enable_refraction
@@ -409,13 +410,17 @@ class RayTracer:
         self.camera.aspect_ratio = width / height
         if self._scene_arrays is None or not self._scene_snapshot.spheres:
             return np.zeros((width * height * 3,), np.float32)
-        key = jax.random.fold_in(self._key, self._frame)
+        # host-side seed arithmetic: no device round-trips per batch; the
+        # lax engine still gets a properly folded key
+        seed = (self._seed_base * 1000003 + self._frame) & 0x7FFFFFFF
+        key = jax.random.key(seed)
         self._frame += 1
         img = _F.render(
             self._scene_arrays, self.camera.to_params(), key,
             width=width, height=height, spp=samples_per_pixel,
             max_depth=max_depth, mode=self._mode,
             enable_refraction=self._enable_refraction,
+            seed=seed,
         )
         self._debug.render_count += 1
         return np.asarray(img).reshape(-1)

@@ -68,6 +68,7 @@ def render(
     with_stats: bool = False,
     mesh=None,
     engine: str = "auto",
+    seed: int | None = None,
 ):
     """Render one batch of ``spp`` samples; returns (height, width, 3) f32.
 
@@ -77,7 +78,9 @@ def render(
     ``mesh`` optionally adds a TriangleMesh to the scene (nearer surface
     wins per bounce). ``engine``: "auto" picks the fused Pallas megakernel
     when the configuration allows (v2 / spheres / gamma / TPU), else the
-    XLA lax pipeline; "pallas"/"lax" force one.
+    XLA lax pipeline; "pallas"/"lax" force one. ``seed``: optional host
+    integer used by the pallas engine instead of deriving one from ``key``
+    (saves device round-trips in interactive loops).
     """
     if engine not in ("auto", "pallas", "lax"):
         raise ValueError(f"unknown engine {engine!r}")
@@ -88,7 +91,8 @@ def render(
     if use_pallas:
         from ..ops.pallas_megakernel import render_pallas
 
-        seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
+        if seed is None:
+            seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
         return render_pallas(
             scene, cam, seed, width=width, height=height, spp=spp,
             max_depth=max_depth, jitter=jitter,
