@@ -39,9 +39,11 @@ def main() -> None:
     scene = jax.device_put(tpu_rt.demo_scene(), dev)
     cam = jax.device_put(tpu_rt.make_camera(aspect=WIDTH / HEIGHT), dev)
 
+    n_active = 9  # demo scene real-sphere count (bucket is 16)
     # segments per frame (for Mrays accounting)
     img, segs = render_pallas(scene, cam, 0, width=WIDTH, height=HEIGHT,
-                              spp=SPP, max_depth=DEPTH, with_stats=True)
+                              spp=SPP, max_depth=DEPTH, with_stats=True,
+                              n_active=n_active)
     _ = float(jnp.sum(img))
     segments = int(segs)
 
@@ -50,7 +52,8 @@ def main() -> None:
     def chained(seed0):
         def body(i, acc):
             frame = render_pallas(scene, cam, seed0 + i, width=WIDTH,
-                                  height=HEIGHT, spp=SPP, max_depth=DEPTH)
+                                  height=HEIGHT, spp=SPP, max_depth=DEPTH,
+                                  n_active=n_active)
             return acc + jnp.sum(frame)
         return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
 
@@ -67,7 +70,7 @@ def main() -> None:
     for k in range(REPEATS):
         t0 = time.perf_counter()
         out = render_pallas(scene, cam, 100 + k, width=WIDTH, height=HEIGHT,
-                            spp=SPP, max_depth=DEPTH)
+                            spp=SPP, max_depth=DEPTH, n_active=n_active)
         _ = float(jnp.sum(out))
         lat.append(time.perf_counter() - t0)
     dispatch_s = float(np.median(lat))

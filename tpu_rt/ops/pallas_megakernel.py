@@ -344,7 +344,8 @@ def _pack_camera(cam: CameraP) -> jnp.ndarray:
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "jitter",
-                     "enable_refraction", "with_stats", "interpret"),
+                     "enable_refraction", "with_stats", "interpret",
+                     "n_active"),
 )
 def render_pallas(
     scene: SphereScene,
@@ -358,18 +359,21 @@ def render_pallas(
     enable_refraction: bool = False,
     with_stats: bool = False,
     interpret: bool = False,
+    n_active: int | None = None,
 ):
     """Fused single-chip render; returns (height, width, 3) f32 in [0, 1].
 
     v2 estimator, sphere scenes (bucket <= a few hundred unrolls), sqrt
     gamma. ``seed`` is an int32 scalar; frames advance it for progressive
-    accumulation.
+    accumulation. ``n_active``: static count of real spheres (valid rows are
+    packed first in the bucket) — the unrolled loop skips padding rows, a
+    ~40% intersect saving on the 9-in-16 demo scene.
     """
     from .intersect import attribute_matrix
 
     n_pix = width * height
     n_tiles = pl.cdiv(n_pix, TILE)
-    n_spheres = scene.capacity
+    n_spheres = scene.capacity if n_active is None else max(1, n_active)
 
     attr = attribute_matrix(scene)
     cam_packed = _pack_camera(cam)

@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import camera as cammod
 from ..core.types import CameraP, SphereScene
@@ -93,10 +94,16 @@ def render(
 
         if seed is None:
             seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
+        try:
+            # concrete outside jit: unroll only the real spheres
+            n_active = int(np.asarray(scene.valid).sum())
+        except Exception:
+            n_active = None
         return render_pallas(
             scene, cam, seed, width=width, height=height, spp=spp,
             max_depth=max_depth, jitter=jitter,
             enable_refraction=enable_refraction, with_stats=with_stats,
+            n_active=n_active,
         )
     return _render_lax(
         scene, cam, key, width=width, height=height, spp=spp,
