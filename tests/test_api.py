@@ -1,8 +1,6 @@
 """Drop-in v1 API surface tests — exercises exactly the calls
 interaction.py/gui.py make against the pybind11 module (binding.cpp:17-108)."""
 
-import math
-
 import numpy as np
 
 from tpu_rt.api import (

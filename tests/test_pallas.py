@@ -96,3 +96,52 @@ def test_engine_auto_selects_pallas_on_tpu(scene, cam):
                                    engine="pallas"))
     # same key -> same derived seed -> identical pallas output
     np.testing.assert_array_equal(auto, forced)
+
+
+def test_refraction_parity_with_lax():
+    # glass sphere in front of an emissive wall: both engines must transmit
+    scene = tpu_rt.make_scene(
+        centers=[(0.0, 0.0, -3.0), (0.0, 0.0, -50.0)], radii=[1.0, 40.0],
+        albedos=[(1, 1, 1), (0, 0, 0)], metallics=[0.0, 0.0],
+        roughnesses=[0.0, 0.5], emissions=[(0, 0, 0), (5, 5, 5)],
+        background=(0, 0, 0))
+    cam2 = tpu_rt.make_camera(position=(0, 0, 0), target=(0, 0, -3),
+                              aspect=1.0)
+    pal = np.asarray(_render_pallas(scene, cam2, 0, width=64, height=64,
+                                    spp=16, max_depth=4,
+                                    enable_refraction=True))
+    lax = np.asarray(render(scene, cam2, jax.random.key(0), width=64,
+                            height=64, spp=16, max_depth=4,
+                            enable_refraction=True, engine="lax"))
+    c = slice(24, 40)
+    assert pal[c, c].mean() > 0.9
+    assert abs(float(pal[c, c].mean() - lax[c, c].mean())) < 0.05
+
+
+def test_sharded_pallas_band_equivalence():
+    """row_offset bands are bit-identical to slices of the full frame, and
+    the sharded pallas path runs end-to-end on a single-chip mesh."""
+    from tpu_rt.ops.pallas_megakernel import render_pallas
+    from tpu_rt.parallel import make_mesh, render_sharded
+
+    scene = jax.device_put(tpu_rt.demo_scene(), _tpu[0])
+    cam = tpu_rt.make_camera(aspect=2.0)
+    with jax.default_device(_tpu[0]):
+        full = np.asarray(render_pallas(scene, cam, 0, width=256, height=128,
+                                        spp=1, max_depth=1, jitter=False))
+        top = np.asarray(render_pallas(scene, cam, 0, width=256, height=128,
+                                       spp=1, max_depth=1, jitter=False,
+                                       rows=64, row_offset=0))
+        bot = np.asarray(render_pallas(scene, cam, 0, width=256, height=128,
+                                       spp=1, max_depth=1, jitter=False,
+                                       rows=64, row_offset=64))
+        np.testing.assert_array_equal(top, full[:64])
+        np.testing.assert_array_equal(bot, full[64:])
+
+        mesh = make_mesh(n_tile=1, n_sample=1, devices=_tpu[:1])
+        img = np.asarray(render_sharded(scene, cam, jax.random.key(0), mesh,
+                                        width=256, height=128, spp=4,
+                                        max_depth=4, engine="pallas",
+                                        n_active=9))
+    assert img.shape == (128, 256, 3)
+    assert np.isfinite(img).all()

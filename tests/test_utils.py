@@ -1,7 +1,6 @@
 """Config / profiling / checkpoint subsystem tests."""
 
 import numpy as np
-import pytest
 
 from tpu_rt.utils import (
     FrameStats,

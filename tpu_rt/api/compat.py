@@ -27,7 +27,6 @@ import numpy as np
 
 from ..core import types as _T
 from ..core.types import CameraP
-from ..ops import intersect as _I
 from ..render import frame as _F
 
 

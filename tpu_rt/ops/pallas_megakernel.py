@@ -33,7 +33,6 @@ in tests/test_pallas.py.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -92,13 +91,16 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 
 def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
-                 enable_refraction=False, rr_start=3):
+                 enable_refraction=False, gamma=True, rr_start=3):
     """Build the kernel body for static (w, h, spp, depth, N)."""
 
     def kernel(cam_ref, attr_ref, bg_ref, seed_ref, out_ref, segs_ref):
         t = pl.program_id(0)
-        # unique, deterministic stream per (frame, tile)
+        # unique, deterministic stream per (frame, tile); params_ref carries
+        # [seed, pixel_offset] (offset > 0 when rendering a sharded row
+        # block of a larger image)
         pltpu.prng_seed(seed_ref[0] + t)
+        pixel_offset = seed_ref[1]
 
         # camera scalars (packed by host): pos, forward, right, up, tf*aspect, tf
         cpx, cpy, cpz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
@@ -111,7 +113,7 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
         shape = (SUBLANES, LANES)
         sub = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        flat = t * TILE + sub * LANES + lane
+        flat = pixel_offset + t * TILE + sub * LANES + lane
         px = (flat % width).astype(jnp.float32)
         py = (flat // width).astype(jnp.float32)
 
@@ -322,12 +324,18 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
         segs_ref[t] = segs
 
         inv_spp = 1.0 / spp
-        out_ref[0, 0] = jnp.clip(
-            jnp.sqrt(jnp.maximum(acc_r * inv_spp, 0.0)), 0.0, 1.0)
-        out_ref[1, 0] = jnp.clip(
-            jnp.sqrt(jnp.maximum(acc_g * inv_spp, 0.0)), 0.0, 1.0)
-        out_ref[2, 0] = jnp.clip(
-            jnp.sqrt(jnp.maximum(acc_b * inv_spp, 0.0)), 0.0, 1.0)
+        if gamma:
+            out_ref[0, 0] = jnp.clip(
+                jnp.sqrt(jnp.maximum(acc_r * inv_spp, 0.0)), 0.0, 1.0)
+            out_ref[1, 0] = jnp.clip(
+                jnp.sqrt(jnp.maximum(acc_g * inv_spp, 0.0)), 0.0, 1.0)
+            out_ref[2, 0] = jnp.clip(
+                jnp.sqrt(jnp.maximum(acc_b * inv_spp, 0.0)), 0.0, 1.0)
+        else:
+            # linear mean (for cross-device psum merging before gamma)
+            out_ref[0, 0] = acc_r * inv_spp
+            out_ref[1, 0] = acc_g * inv_spp
+            out_ref[2, 0] = acc_b * inv_spp
 
     return kernel
 
@@ -344,8 +352,8 @@ def _pack_camera(cam: CameraP) -> jnp.ndarray:
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "jitter",
-                     "enable_refraction", "with_stats", "interpret",
-                     "n_active"),
+                     "enable_refraction", "gamma", "with_stats", "interpret",
+                     "n_active", "rows"),
 )
 def render_pallas(
     scene: SphereScene,
@@ -357,9 +365,12 @@ def render_pallas(
     max_depth: int = 4,
     jitter: bool = True,
     enable_refraction: bool = False,
+    gamma: bool = True,
     with_stats: bool = False,
     interpret: bool = False,
     n_active: int | None = None,
+    rows: int | None = None,
+    row_offset=0,
 ):
     """Fused single-chip render; returns (height, width, 3) f32 in [0, 1].
 
@@ -368,20 +379,29 @@ def render_pallas(
     accumulation. ``n_active``: static count of real spheres (valid rows are
     packed first in the bucket) — the unrolled loop skips padding rows, a
     ~40% intersect saving on the 9-in-16 demo scene.
+
+    Sharded use (tpu_rt.parallel): pass ``rows`` (static block height) and
+    ``row_offset`` (dynamic global first row) to render a horizontal band of
+    the full image, and ``gamma=False`` for a linear mean mergeable with
+    psum across a sample axis.
     """
     from .intersect import attribute_matrix
 
-    n_pix = width * height
+    out_rows = height if rows is None else rows
+    n_pix = width * out_rows
     n_tiles = pl.cdiv(n_pix, TILE)
     n_spheres = scene.capacity if n_active is None else max(1, n_active)
 
     attr = attribute_matrix(scene)
     cam_packed = _pack_camera(cam)
     bg = scene.background.reshape(1, 3)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    pix_offset = jnp.asarray(row_offset, jnp.int32) * width
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
+                          pix_offset]).reshape(2)
 
     kernel = _make_kernel(width, height, spp, max_depth, n_spheres,
-                          jitter=jitter, enable_refraction=enable_refraction)
+                          jitter=jitter, enable_refraction=enable_refraction,
+                          gamma=gamma)
     out, segs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -408,7 +428,7 @@ def render_pallas(
     )(cam_packed, attr, bg, seed_arr)
 
     img = out.reshape(3, n_tiles * TILE)[:, :n_pix]
-    img = jnp.moveaxis(img, 0, -1).reshape(height, width, 3)
+    img = jnp.moveaxis(img, 0, -1).reshape(out_rows, width, 3)
     if with_stats:
         # padding-tile lanes trace rays too; report real-pixel segments by
         # scaling (bounded correction, exact when n_pix % TILE == 0)

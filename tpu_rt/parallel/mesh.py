@@ -63,7 +63,7 @@ def make_mesh(
 @partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "spp", "max_depth", "mode",
-                     "enable_refraction", "gamma"),
+                     "enable_refraction", "gamma", "engine", "n_active"),
 )
 def render_sharded(
     scene: SphereScene,
@@ -77,6 +77,8 @@ def render_sharded(
     mode: str = "v2",
     enable_refraction: bool = False,
     gamma: bool = True,
+    engine: str = "lax",
+    n_active: int | None = None,
 ):
     """Render one frame over the mesh; returns (height, width, 3) f32.
 
@@ -105,6 +107,21 @@ def render_sharded(
         )
         row0 = ti * rows_per
         R = rows_per * width
+
+        if engine == "pallas":
+            from ..ops.pallas_megakernel import render_pallas
+
+            seed = jax.random.key_data(dev_key).ravel()[-1].astype(jnp.int32)
+            band = render_pallas(
+                scene_rep, cam_rep, seed, width=width, height=height,
+                spp=spp_per, max_depth=max_depth,
+                enable_refraction=enable_refraction, gamma=False,
+                n_active=n_active, rows=rows_per, row_offset=row0,
+            )
+            band = jax.lax.pmean(band, axis_name="sample")
+            if gamma:
+                band = jnp.clip(jnp.sqrt(jnp.maximum(band, 0.0)), 0.0, 1.0)
+            return band
 
         def sample_pass(carry, s):
             k_s = jax.random.fold_in(dev_key, s)
@@ -143,5 +160,9 @@ def render_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P("tile", None, None),
+        # pallas_call's out_shape carries no varying-manual-axes metadata,
+        # so the VMA checker cannot type it; the psum/pmean layering is
+        # identical to the (checked) lax branch.
+        check_vma=(engine != "pallas"),
     )(scene, cam, key)
     return out
