@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Multi-scene / multi-engine benchmark table.
+
+Measures steady-state frame time (10 chained frames per dispatch) and
+Mrays/s for: the demo scene (pallas + lax), random-spheres scaling
+(16/32/64 spheres through the megakernel), and the Cornell mesh box
+(lax + mesh path). Prints a markdown table.
+
+Run on the chip: python benchmarks/bench_scenes.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def steady_state(frame_fn, reps=3, chain=10):
+    @jax.jit
+    def chained(seed0):
+        def body(i, acc):
+            return acc + jnp.sum(frame_fn(seed0 + i))
+        return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
+
+    _ = float(chained(jnp.int32(0)))
+    ts = []
+    for k in range(reps):
+        t0 = time.perf_counter()
+        _ = float(chained(jnp.int32(1 + k * chain)))
+        ts.append((time.perf_counter() - t0) / chain)
+    return float(np.median(ts))
+
+
+def main():
+    import tpu_rt
+    from tpu_rt.core.scenes import cornell_box, random_spheres
+    from tpu_rt.ops.pallas_megakernel import render_pallas
+    from tpu_rt.render.frame import render
+
+    W, H, SPP, D = 1920, 1080, 4, 4
+    prim = W * H * SPP
+    dev = jax.devices()[0]
+    rows = []
+
+    demo = jax.device_put(tpu_rt.demo_scene(), dev)
+    cam = jax.device_put(tpu_rt.make_camera(aspect=W / H), dev)
+
+    dt = steady_state(lambda s: render_pallas(
+        demo, cam, s, width=W, height=H, spp=SPP, max_depth=D, n_active=9))
+    rows.append(("demo 9 spheres / pallas", dt, prim / dt / 1e6))
+
+    dt = steady_state(lambda s: render(
+        demo, cam, jax.random.key(0), width=W, height=H, spp=SPP,
+        max_depth=D, engine="lax", seed=None), reps=1, chain=2)
+    rows.append(("demo 9 spheres / lax", dt, prim / dt / 1e6))
+
+    for n in (16, 32, 64):
+        sc = jax.device_put(random_spheres(n), dev)
+        dt = steady_state(lambda s, sc=sc, n=n: render_pallas(
+            sc, cam, s, width=W, height=H, spp=SPP, max_depth=D, n_active=n))
+        rows.append((f"random {n} spheres / pallas", dt, prim / dt / 1e6))
+
+    spheres, mesh = cornell_box()
+    spheres = jax.device_put(spheres, dev)
+    mesh = jax.device_put(mesh, dev)
+    ccam = jax.device_put(
+        tpu_rt.make_camera(position=(0, 2, 2.5), target=(0, 2, -3),
+                           aspect=W / H), dev)
+
+    # plain dispatch timing (chaining the mesh path in a fori_loop trips an
+    # internal TPU compiler fault on this toolchain)
+    def cornell_frame(k):
+        return render(spheres, ccam, jax.random.key(k), width=W, height=H,
+                      spp=SPP, max_depth=D, engine="lax", mesh=mesh)
+
+    out = cornell_frame(0)
+    _ = float(jnp.sum(out))
+    ts = []
+    for k in range(3):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(cornell_frame(k + 1)))
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
+    rows.append(("cornell box (14 tris + 2 spheres) / lax+mesh", dt,
+                 prim / dt / 1e6))
+
+    print(f"\n1080p @ {SPP} spp, depth {D}, {dev}\n")
+    print("| Scene / engine | frame ms | primary Mrays/s |")
+    print("|---|---|---|")
+    for name, dt, mrays in rows:
+        print(f"| {name} | {dt * 1e3:.1f} | {mrays:.0f} |")
+
+
+if __name__ == "__main__":
+    main()
