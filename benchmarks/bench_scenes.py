@@ -74,8 +74,14 @@ def main():
         tpu_rt.make_camera(position=(0, 2, 2.5), target=(0, 2, -3),
                            aspect=W / H), dev)
 
-    # plain dispatch timing (chaining the mesh path in a fori_loop trips an
-    # internal TPU compiler fault on this toolchain)
+    dt = steady_state(lambda s: render_pallas(
+        spheres, ccam, s, width=W, height=H, spp=SPP, max_depth=D,
+        mesh=mesh, n_active=2, n_tri_active=14))
+    rows.append(("cornell box (14 tris + 2 spheres) / pallas", dt,
+                 prim / dt / 1e6))
+
+    # plain dispatch timing (chaining the lax mesh path in a fori_loop trips
+    # an internal TPU compiler fault on this toolchain)
     def cornell_frame(k):
         return render(spheres, ccam, jax.random.key(k), width=W, height=H,
                       spp=SPP, max_depth=D, engine="lax", mesh=mesh)

@@ -145,3 +145,25 @@ def test_sharded_pallas_band_equivalence():
                                         n_active=9))
     assert img.shape == (128, 256, 3)
     assert np.isfinite(img).all()
+
+
+def test_mesh_scene_parity_with_lax():
+    """Cornell mesh box: megakernel triangles match the lax mesh path in
+    distribution (mean agreement; RMSE bounded by MC noise)."""
+    from tpu_rt.core.scenes import cornell_box
+
+    spheres, mesh = cornell_box()
+    cam2 = tpu_rt.make_camera(position=(0, 2, 2.5), target=(0, 2, -3),
+                              aspect=4 / 3)
+    with jax.default_device(_tpu[0]):
+        pal = np.asarray(_render_pallas(
+            spheres, cam2, 2, width=128, height=96, spp=32, max_depth=4,
+            mesh=mesh, n_active=2, n_tri_active=14))
+        lax = np.asarray(render(spheres, cam2, jax.random.key(2), width=128,
+                                height=96, spp=32, max_depth=4, engine="lax",
+                                mesh=mesh))
+    assert np.isfinite(pal).all()
+    assert abs(float(pal.mean() - lax.mean())) < 0.01
+    # walls visibly red on the left, green on the right
+    assert pal[40:60, :20, 0].mean() > pal[40:60, :20, 1].mean()
+    assert pal[40:60, -20:, 1].mean() > pal[40:60, -20:, 0].mean()

@@ -90,11 +90,13 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
-def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
-                 enable_refraction=False, gamma=True, rr_start=3):
+def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
+                 jitter=True, enable_refraction=False, gamma=True,
+                 rr_start=3):
     """Build the kernel body for static (w, h, spp, depth, N)."""
 
-    def kernel(cam_ref, attr_ref, bg_ref, seed_ref, out_ref, segs_ref):
+    def kernel(cam_ref, attr_ref, tri_geo_ref, tri_mat_ref, bg_ref,
+               seed_ref, out_ref, segs_ref):
         t = pl.program_id(0)
         # unique, deterministic stream per (frame, tile); params_ref carries
         # [seed, pixel_offset] (offset > 0 when rendering a sharded row
@@ -209,6 +211,57 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
                     if enable_refraction:
                         b_ior = jnp.where(better, attr_ref[n, 12], b_ior)
 
+                if n_tris:
+                    # triangles have their shading normal ready; spheres
+                    # derive theirs from the hit point below
+                    b_is_tri = jnp.zeros(shape, jnp.bool_)
+                    b_tnx = jnp.zeros(shape, jnp.float32)
+                    b_tny = jnp.zeros(shape, jnp.float32)
+                    b_tnz = jnp.zeros(shape, jnp.float32)
+                for k in range(n_tris):
+                    # scalar Moller-Trumbore against tri k (tri_geo row:
+                    # v0 xyz, e1 xyz, e2 xyz, normal xyz; tri_mat row:
+                    # albedo rgb, metallic, roughness, emission rgb, ior)
+                    v0x, v0y, v0z = (tri_geo_ref[k, 0], tri_geo_ref[k, 1],
+                                     tri_geo_ref[k, 2])
+                    e1x, e1y, e1z = (tri_geo_ref[k, 3], tri_geo_ref[k, 4],
+                                     tri_geo_ref[k, 5])
+                    e2x, e2y, e2z = (tri_geo_ref[k, 6], tri_geo_ref[k, 7],
+                                     tri_geo_ref[k, 8])
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    okd = jnp.abs(det) > 1e-9
+                    inv = 1.0 / jnp.where(okd, det, 1.0)
+                    tvx = ox - v0x
+                    tvy = oy - v0y
+                    tvz = oz - v0z
+                    uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    vv = (dx * qvx + dy * qvy + dz * qvz) * inv
+                    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                    okt = (okd & (uu >= 0.0) & (vv >= 0.0)
+                           & (uu + vv <= 1.0) & (tt >= 1e-3))
+                    better = okt & (tt < best_t)
+                    best_t = jnp.where(better, tt, best_t)
+                    b_is_tri = b_is_tri | better
+                    b_tnx = jnp.where(better, tri_geo_ref[k, 9], b_tnx)
+                    b_tny = jnp.where(better, tri_geo_ref[k, 10], b_tny)
+                    b_tnz = jnp.where(better, tri_geo_ref[k, 11], b_tnz)
+                    b_ar = jnp.where(better, tri_mat_ref[k, 0], b_ar)
+                    b_ag = jnp.where(better, tri_mat_ref[k, 1], b_ag)
+                    b_ab = jnp.where(better, tri_mat_ref[k, 2], b_ab)
+                    b_met = jnp.where(better, tri_mat_ref[k, 3], b_met)
+                    b_rgh = jnp.where(better, tri_mat_ref[k, 4], b_rgh)
+                    b_er = jnp.where(better, tri_mat_ref[k, 5], b_er)
+                    b_eg = jnp.where(better, tri_mat_ref[k, 6], b_eg)
+                    b_eb = jnp.where(better, tri_mat_ref[k, 7], b_eb)
+                    if enable_refraction:
+                        b_ior = jnp.where(better, tri_mat_ref[k, 8], b_ior)
+
                 hit = best_t < T_MAX
                 miss = act & ~hit
                 missf = miss.astype(jnp.float32)
@@ -240,6 +293,15 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, jitter=True,
                 nx = (hx - b_cx) * b_ir
                 ny = (hy - b_cy) * b_ir
                 nz = (hz - b_cz) * b_ir
+                if n_tris:
+                    # triangles: face normal flipped to oppose the ray
+                    # (tpu_rt.ops.triangle semantics)
+                    tsgn = jnp.where(
+                        _dot3(dx, dy, dz, b_tnx, b_tny, b_tnz) < 0.0,
+                        1.0, -1.0)
+                    nx = jnp.where(b_is_tri, b_tnx * tsgn, nx)
+                    ny = jnp.where(b_is_tri, b_tny * tsgn, ny)
+                    nz = jnp.where(b_is_tri, b_tnz * tsgn, nz)
 
                 # ---- scatter (raytracer_core.cpp:334-347) ----
                 bx, by, bz = _unit_ball(shape)
@@ -353,7 +415,7 @@ def _pack_camera(cam: CameraP) -> jnp.ndarray:
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "jitter",
                      "enable_refraction", "gamma", "with_stats", "interpret",
-                     "n_active", "rows"),
+                     "n_active", "rows", "n_tri_active"),
 )
 def render_pallas(
     scene: SphereScene,
@@ -371,6 +433,8 @@ def render_pallas(
     n_active: int | None = None,
     rows: int | None = None,
     row_offset=0,
+    mesh=None,
+    n_tri_active: int | None = None,
 ):
     """Fused single-chip render; returns (height, width, 3) f32 in [0, 1].
 
@@ -391,6 +455,20 @@ def render_pallas(
     n_pix = width * out_rows
     n_tiles = pl.cdiv(n_pix, TILE)
     n_spheres = scene.capacity if n_active is None else max(1, n_active)
+    if mesh is None:
+        n_tris = 0
+        tri_geo = jnp.zeros((1, 16), jnp.float32)
+        tri_mat = jnp.zeros((1, 16), jnp.float32)
+    else:
+        n_tris = mesh.capacity if n_tri_active is None else max(1, n_tri_active)
+        zero = jnp.zeros_like(mesh.ior)[:, None]
+        tri_geo = jnp.concatenate(
+            [mesh.v0, mesh.e1, mesh.e2, mesh.normal, zero, zero, zero, zero],
+            axis=-1)
+        tri_mat = jnp.concatenate(
+            [mesh.albedo, mesh.metallic[:, None], mesh.roughness[:, None],
+             mesh.emission, mesh.ior[:, None],
+             zero, zero, zero, zero, zero, zero, zero], axis=-1)
 
     attr = attribute_matrix(scene)
     cam_packed = _pack_camera(cam)
@@ -400,14 +478,16 @@ def render_pallas(
                           pix_offset]).reshape(2)
 
     kernel = _make_kernel(width, height, spp, max_depth, n_spheres,
-                          jitter=jitter, enable_refraction=enable_refraction,
-                          gamma=gamma)
+                          n_tris=n_tris, jitter=jitter,
+                          enable_refraction=enable_refraction, gamma=gamma)
     out, segs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # camera scalars
             pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere attributes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # triangle geometry
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # triangle materials
             pl.BlockSpec(memory_space=pltpu.SMEM),   # background
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
         ],
@@ -425,7 +505,7 @@ def render_pallas(
             jax.ShapeDtypeStruct((n_tiles,), jnp.int32),
         ),
         interpret=interpret,
-    )(cam_packed, attr, bg, seed_arr)
+    )(cam_packed, attr, tri_geo, tri_mat, bg, seed_arr)
 
     img = out.reshape(3, n_tiles * TILE)[:, :n_pix]
     img = jnp.moveaxis(img, 0, -1).reshape(out_rows, width, 3)

@@ -48,8 +48,8 @@ def _pallas_eligible(scene, mode, enable_refraction, gamma, mesh) -> bool:
     return (
         mode == "v2"
         and gamma
-        and mesh is None
         and scene.capacity <= 64
+        and (mesh is None or mesh.capacity <= 256)
         and _on_tpu(scene)
     )
 
@@ -95,15 +95,21 @@ def render(
         if seed is None:
             seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
         try:
-            # concrete outside jit: unroll only the real spheres
+            # concrete outside jit: unroll only the real primitives
             n_active = int(np.asarray(scene.valid).sum())
         except Exception:
             n_active = None
+        n_tri_active = None
+        if mesh is not None:
+            try:
+                n_tri_active = int(np.asarray(mesh.valid).sum())
+            except Exception:
+                n_tri_active = None
         return render_pallas(
             scene, cam, seed, width=width, height=height, spp=spp,
             max_depth=max_depth, jitter=jitter,
             enable_refraction=enable_refraction, with_stats=with_stats,
-            n_active=n_active,
+            n_active=n_active, mesh=mesh, n_tri_active=n_tri_active,
         )
     return _render_lax(
         scene, cam, key, width=width, height=height, spp=spp,
