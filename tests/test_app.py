@@ -261,3 +261,23 @@ def test_frame_stats_tracked(rti):
     drain(rti)
     assert rti.frame_stats.times, "no frame timings recorded"
     assert rti.frame_stats.mrays_per_s > 0
+
+
+def test_linear_accumulation_mode():
+    """linear_accumulation=True averages radiance pre-gamma; the final image
+    stays in range and converges to the same scene (different, correct,
+    blending weights)."""
+    r = RayTracerInteraction(48, 36, linear_accumulation=True)
+    try:
+        r.settings.update(max_samples=4, samples_per_batch=2, max_depth=2)
+        r.start_rendering()
+        frames = drain(r)
+        rt = [f for f in frames if "display" in f]
+        assert rt
+        img = rt[-1]["display"]
+        assert img.min() >= 0 and img.max() <= 1
+        assert img.max() > 0.05
+        # accumulator itself is linear (unbounded emissives allowed)
+        assert r.accumulated_image is not None
+    finally:
+        r.stop_rendering()

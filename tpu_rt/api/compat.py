@@ -340,7 +340,7 @@ class RayTracer:
     """
 
     def __init__(self, seed: int = 0, mode: str = "v2",
-                 enable_refraction: bool = False):
+                 enable_refraction: bool = False, linear: bool = False):
         self.camera = Camera()
         self.camera.position = Vector3(0, 2, 5)
         self.camera.target = Vector3(0, 0, -1)
@@ -352,6 +352,10 @@ class RayTracer:
         self._frame = 0
         self._mode = mode
         self._enable_refraction = enable_refraction
+        # linear=True returns pre-gamma radiance batches (for the app's
+        # correct-averaging mode); False keeps the reference's sqrt-gamma'd
+        # output contract
+        self._linear = linear
         self._debug = DebugInfo()
 
     # -- scene ----------------------------------------------------------
@@ -419,6 +423,7 @@ class RayTracer:
             width=width, height=height, spp=samples_per_pixel,
             max_depth=max_depth, mode=self._mode,
             enable_refraction=self._enable_refraction,
+            gamma=not self._linear,
             seed=seed,
         )
         self._debug.render_count += 1

@@ -317,11 +317,12 @@ class RayTracerInteraction:
     """
 
     def __init__(self, width: int = 640, height: int = 480,
-                 debug_mode: bool = False):
+                 debug_mode: bool = False, linear_accumulation: bool = False):
         self.width = width
         self.height = height
 
-        self.ray_tracer = RayTracer()
+        self.ray_tracer = RayTracer(linear=linear_accumulation)
+        self._linear = linear_accumulation
         self.scene = SceneManager.create_interactive_scene()
         self.ray_tracer.set_scene(self.scene)
 
@@ -342,6 +343,11 @@ class RayTracerInteraction:
             "move_speed": 0.3,
             "camera_move_speed": 0.1,
             "camera_rotate_speed": 0.5,
+            # Correct-averaging mode: accumulate pre-gamma radiance and apply
+            # gamma at display time. The reference averages post-gamma
+            # batches (interaction.py:1311-1325) — kept as the default for
+            # behavioral parity; flip this for physically correct blending.
+            "linear_accumulation": linear_accumulation,
         }
 
         self.camera_controller = CameraController(self.camera, self.settings)
@@ -857,8 +863,13 @@ class RayTracerInteraction:
         else:
             if self.accumulated_image is None:
                 return
-            display = self._tone_map(self.accumulated_image,
-                                     self.settings["exposure"])
+            acc = self.accumulated_image
+            if self._linear:
+                # gamma applied once, at display time, on the correctly
+                # averaged linear radiance
+                acc = np.sqrt(np.clip(acc, 0.0, None))
+                acc = np.clip(acc, 0.0, 1.0)
+            display = self._tone_map(acc, self.settings["exposure"])
             enhanced = (self._enhance_display(display)
                         if self.settings["enhance_image"] else display)
             mode_str = "raytracing"
