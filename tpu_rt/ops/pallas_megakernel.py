@@ -370,7 +370,9 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
 
             # Full static unroll over bounces: no loop overhead, static RR
             # gating, everything in registers. (A fori_loop here would nest
-            # inside the spp fori_loop, which the Mosaic compiler rejects.)
+            # inside the spp fori_loop and a per-tile lax.cond early-exit
+            # both fail to legalize in this Mosaic toolchain — measured
+            # alternatives, not oversights.)
             # Depth 32 costs ~4 min of one-time, persistently-cached compile;
             # runtime is unaffected.
             for depth_idx in range(1, max_depth + 1):
