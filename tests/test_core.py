@@ -109,3 +109,23 @@ def test_hemisphere_sides():
     n = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (5000, 1))
     h = np.asarray(rngmod.hemisphere(key, n))
     assert (h[:, 1] >= 0).all()
+
+
+def test_scene_library():
+    from tpu_rt.core.scenes import cornell_box, random_spheres
+
+    a = random_spheres(32, seed=5)
+    b = random_spheres(32, seed=5)
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(a.center), np.asarray(b.center))
+    assert int(a.valid.sum()) == 32
+    assert float(a.radius[0]) == 1000.0  # ground
+    c = random_spheres(32, seed=6)
+    assert not np.array_equal(np.asarray(a.center), np.asarray(c.center))
+
+    spheres, mesh = cornell_box()
+    assert int(spheres.valid.sum()) == 2
+    assert int(np.asarray(mesh.valid).sum()) == 12  # 6 quads
+    em = np.asarray(mesh.emission)[np.asarray(mesh.valid)]
+    assert (em.max(axis=-1) > 0).sum() == 2  # light quad = 2 triangles
