@@ -100,3 +100,20 @@ def test_bvh_rebuild_after_edit(rng_np):
     assert int(prim_new[0]) == 3
     t_old, prim_old = B.intersect_spheres_bvh(scene, bvh1, o, d)
     assert int(prim_old[0]) != 3
+
+
+def test_render_with_bvh_matches_brute(rng_np):
+    """The integrator's use_bvh path produces the same image as the dense
+    sweep (same RNG stream, same estimator — only the intersector differs)."""
+    import jax
+    from tpu_rt.core import types as T
+    from tpu_rt.render.frame import render
+
+    scene = random_scene(rng_np, 100, spread=6.0)
+    cam = T.make_camera(position=(0, 3, 18), target=(0, 0, 0), aspect=1.0)
+    a = np.asarray(render(scene, cam, jax.random.key(0), width=24, height=24,
+                          spp=2, max_depth=3, engine="lax", use_bvh=True))
+    b = np.asarray(render(scene, cam, jax.random.key(0), width=24, height=24,
+                          spp=2, max_depth=3, engine="lax", use_bvh=False))
+    # identical RNG; only near-tangential f32 differences possible
+    assert (np.abs(a - b) < 1e-3).mean() > 0.995

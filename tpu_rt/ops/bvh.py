@@ -347,3 +347,37 @@ def scene_lbvh(scene) -> LBVH:
     r = scene.radius[:, None]
     return build_lbvh(scene.center, scene.center - r, scene.center + r,
                       scene.valid)
+
+
+def intersect_spheres_bvh_hit(scene, bvh: LBVH, origins, directions):
+    """BVH-accelerated closest hit returning the same Hit SoA as
+    intersect_brute — the drop-in intersector for the integrator's
+    ``use_bvh`` path (large scenes, where the dense (R, N) sweep no longer
+    fits the MXU budget).
+
+    Attribute fetch here is a per-ray gather on the winning primitive index:
+    O(1) per ray, appropriate past the brute-force crossover where a one-hot
+    (R, N) matmul would dominate.
+    """
+    from .intersect import Hit
+
+    t, prim = intersect_spheres_bvh(scene, bvh, origins, directions)
+    hit = prim >= 0
+    idx = jnp.maximum(prim, 0)
+    center = scene.center[idx]
+    radius = scene.radius[idx]
+    inv_r = jnp.where(radius > 0.0, 1.0 / radius, 0.0)
+    point = origins + directions * t[:, None]
+    normal = (point - center) * inv_r[:, None]
+    return Hit(
+        hit=hit,
+        t=jnp.where(hit, t, T_MAX),
+        normal=normal,
+        albedo=scene.albedo[idx],
+        metallic=scene.metallic[idx],
+        roughness=scene.roughness[idx],
+        emission=scene.emission[idx],
+        ior=scene.ior[idx],
+        object_id=jnp.where(hit, scene.object_id[idx].astype(jnp.float32),
+                            -1.0),
+    )

@@ -92,7 +92,8 @@ def _dielectric_directions(key, d, normal, ior):
 
 @partial(
     jax.jit,
-    static_argnames=("max_depth", "mode", "enable_refraction", "with_stats"),
+    static_argnames=("max_depth", "mode", "enable_refraction", "with_stats",
+                     "use_bvh"),
 )
 def trace(
     scene: SphereScene,
@@ -104,18 +105,26 @@ def trace(
     enable_refraction: bool = False,
     with_stats: bool = False,
     mesh=None,
+    use_bvh: bool = False,
 ):
     """Trace R rays to completion; returns (R, 3) linear radiance.
 
     ``mesh`` optionally adds a TriangleMesh to the scene: both geometries are
     intersected per bounce and the nearer surface shades (materials work
-    identically). With ``with_stats=True`` also returns the total number of
-    ray segments traced (for Mrays/s accounting, SURVEY.md §5 tracing).
+    identically). ``use_bvh=True`` swaps the dense MXU sweep for LBVH
+    traversal (the scalable path for scenes past the brute-force crossover;
+    equivalent results — tests/test_bvh.py). With ``with_stats=True`` also
+    returns the total number of ray segments traced (for Mrays/s accounting,
+    SURVEY.md §5 tracing).
     """
     if mode not in ("v1", "v2"):
         raise ValueError(f"unknown integrator mode {mode!r}")
     R = origins.shape[0]
     attr = attribute_matrix(scene)
+    if use_bvh:
+        from .bvh import intersect_spheres_bvh_hit, scene_lbvh
+
+        bvh = scene_lbvh(scene)
     if mesh is not None:
         from .triangle import intersect_mesh_brute, tri_attribute_matrix
 
@@ -133,7 +142,10 @@ def trace(
         k, k_ball, k_rr, k_branch, k_glass = jax.random.split(k, 5)
 
         segs = segs + jnp.sum(act.astype(jnp.int32))
-        h = intersect_brute(scene, o, d, attr=attr)
+        if use_bvh:
+            h = intersect_spheres_bvh_hit(scene, bvh, o, d)
+        else:
+            h = intersect_brute(scene, o, d, attr=attr)
         if mesh is not None:
             h = combine_hits(h, intersect_mesh_brute(mesh, o, d, attr=tri_attr))
 

@@ -70,6 +70,7 @@ def render(
     mesh=None,
     engine: str = "auto",
     seed: int | None = None,
+    use_bvh: bool = False,
 ):
     """Render one batch of ``spp`` samples; returns (height, width, 3) f32.
 
@@ -115,6 +116,7 @@ def render(
         scene, cam, key, width=width, height=height, spp=spp,
         max_depth=max_depth, mode=mode, enable_refraction=enable_refraction,
         gamma=gamma, jitter=jitter, with_stats=with_stats, mesh=mesh,
+        use_bvh=use_bvh,
     )
 
 
@@ -122,12 +124,12 @@ def render(
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_depth", "mode",
-        "enable_refraction", "gamma", "jitter", "with_stats",
+        "enable_refraction", "gamma", "jitter", "with_stats", "use_bvh",
     ),
 )
 def _render_lax(
     scene, cam, key, *, width, height, spp, max_depth, mode,
-    enable_refraction, gamma, jitter, with_stats, mesh,
+    enable_refraction, gamma, jitter, with_stats, mesh, use_bvh=False,
 ):
     """XLA lax render pipeline (general path: any estimator mode, meshes,
     linear output, CPU backends)."""
@@ -147,7 +149,7 @@ def _render_lax(
             scene, o, d, k_trace,
             max_depth=max_depth, mode=mode,
             enable_refraction=enable_refraction, with_stats=True,
-            mesh=mesh,
+            mesh=mesh, use_bvh=use_bvh,
         )
         return (acc + color, segs + nseg), None
 
