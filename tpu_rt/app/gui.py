@@ -13,8 +13,6 @@ headless.
 
 from __future__ import annotations
 
-import time
-
 import numpy as np
 
 try:
