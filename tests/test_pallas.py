@@ -167,3 +167,22 @@ def test_mesh_scene_parity_with_lax():
     # walls visibly red on the left, green on the right
     assert pal[40:60, :20, 0].mean() > pal[40:60, :20, 1].mean()
     assert pal[40:60, -20:, 1].mean() > pal[40:60, -20:, 0].mean()
+
+
+def test_depth1_parity_with_cpp_golden():
+    """Transitivity made explicit: megakernel depth-1 output vs the compiled
+    C++ reference golden directly."""
+    import os
+
+    gold_path = os.path.join(os.path.dirname(__file__), "goldens",
+                             "ref_depth1_160x120.npy")
+    if not os.path.exists(gold_path):
+        pytest.skip("reference goldens not generated")
+    gold = np.load(gold_path)
+    scene = tpu_rt.demo_scene()
+    cam3 = tpu_rt.make_camera(aspect=160 / 120)
+    ours = np.asarray(_render_pallas(scene, cam3, 0, width=160, height=120,
+                                     spp=1, max_depth=1, jitter=False,
+                                     n_active=9))
+    rmse = float(np.sqrt(((ours - gold) ** 2).mean()))
+    assert rmse < 1e-6, rmse
