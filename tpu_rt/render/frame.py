@@ -95,17 +95,21 @@ def render(
 
         if seed is None:
             seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
-        try:
-            # concrete outside jit: unroll only the real primitives
-            n_active = int(np.asarray(scene.valid).sum())
-        except Exception:
-            n_active = None
+        def _quantized_count(valid, capacity):
+            # n_active is a STATIC kernel parameter: a new value means a
+            # fresh multi-minute Mosaic compile. Quantize the unroll length
+            # to multiples of 4 so interactive add/remove only recompiles at
+            # group boundaries (the padding rows it keeps are cheap).
+            try:
+                n = int(np.asarray(valid).sum())
+            except Exception:
+                return None
+            return min(capacity, -4 * (-n // 4)) if n else 1
+
+        n_active = _quantized_count(scene.valid, scene.capacity)
         n_tri_active = None
         if mesh is not None:
-            try:
-                n_tri_active = int(np.asarray(mesh.valid).sum())
-            except Exception:
-                n_tri_active = None
+            n_tri_active = _quantized_count(mesh.valid, mesh.capacity)
         return render_pallas(
             scene, cam, seed, width=width, height=height, spp=spp,
             max_depth=max_depth, jitter=jitter,
