@@ -146,3 +146,54 @@ def test_render_mesh_scene():
     # red cube: center pixels are red-dominant
     center = img[14:18, 14:18]
     assert center[..., 0].mean() > center[..., 2].mean()
+
+
+def test_mesh_bvh_hit_matches_brute_on_terrain(rng_np):
+    """intersect_mesh_bvh_hit vs the brute oracle on a >=1k-triangle scene
+    (VERDICT round 1 item 2 / BASELINE config #2: BVH traversal parity)."""
+    from tpu_rt.core.scenes import terrain_mesh
+
+    _, mesh = terrain_mesh(n=24)
+    assert int(np.asarray(mesh.valid).sum()) >= 1000
+    bvh = TR.mesh_lbvh(mesh)
+    o, d = random_rays(rng_np, 1024, spread=10.0)
+    o = jnp.asarray(o); d = jnp.asarray(d)
+
+    hb = TR.intersect_mesh_brute(mesh, o, d)
+    hv = TR.intersect_mesh_bvh_hit(mesh, bvh, o, d)
+
+    hit_b = np.asarray(hb.hit)
+    hit_v = np.asarray(hv.hit)
+    agree = hit_v == hit_b
+    assert agree.mean() > 0.998, f"hit/miss disagreement {1-agree.mean():.4%}"
+    both = hit_v & hit_b
+    np.testing.assert_allclose(np.asarray(hv.t)[both], np.asarray(hb.t)[both],
+                               rtol=1e-3, atol=1e-3)
+    same_prim = (np.asarray(hv.object_id)[both] == np.asarray(hb.object_id)[both]) | (
+        np.abs(np.asarray(hv.t)[both] - np.asarray(hb.t)[both]) < 1e-4)
+    assert same_prim.mean() > 0.998
+    # attributes of agreeing hits match (albedo is per-face random)
+    match = both & (np.asarray(hv.object_id) == np.asarray(hb.object_id))
+    np.testing.assert_allclose(np.asarray(hv.albedo)[match],
+                               np.asarray(hb.albedo)[match], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hv.normal)[match],
+                               np.asarray(hb.normal)[match], atol=1e-4)
+
+
+def test_trace_mesh_bvh_image_matches_brute(rng_np):
+    """use_bvh=True accelerates the mesh too: same image as brute through
+    the full integrator (same RNG stream, only the intersector differs)."""
+    import jax
+    from tpu_rt.core import types as T
+    from tpu_rt.core.scenes import terrain_mesh
+    from tpu_rt.render.frame import render
+
+    spheres, mesh = terrain_mesh(n=24)
+    cam = T.make_camera(position=(0, 5, 6), target=(0, 0, -12), aspect=1.0)
+    a = np.asarray(render(spheres, cam, jax.random.key(3), width=24,
+                          height=24, spp=2, max_depth=3, engine="lax",
+                          mesh=mesh, use_bvh=True))
+    b = np.asarray(render(spheres, cam, jax.random.key(3), width=24,
+                          height=24, spp=2, max_depth=3, engine="lax",
+                          mesh=mesh, use_bvh=False))
+    assert (np.abs(a - b) < 1e-3).mean() > 0.995

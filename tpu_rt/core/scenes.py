@@ -54,6 +54,48 @@ def random_spheres(
     )
 
 
+def terrain_mesh(n: int = 24, extent: float = 12.0, seed: int = 0):
+    """Procedural sinusoidal-heightfield terrain: 2*(n-1)^2 triangles.
+
+    n=24 gives 1058 triangles — the >=1k-triangle workload for mesh-BVH
+    equivalence and crossover benchmarks (BASELINE config #2). Returns
+    (sphere_scene, mesh): a couple of spheres above a rolling lit terrain.
+    """
+    from ..ops.triangle import make_mesh
+
+    rng = np.random.default_rng(seed)
+    xs = np.linspace(-extent, extent, n, dtype=np.float32)
+    zs = np.linspace(-2.0, -2.0 - 2 * extent, n, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, zs, indexing="ij")
+    gy = (0.8 * np.sin(gx * 0.7) * np.cos(gz * 0.5)
+          + 0.3 * np.sin(gx * 1.9 + 1.0) * np.sin(gz * 1.3)
+          ).astype(np.float32)
+    verts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+    idx = np.arange(n * n).reshape(n, n)
+    a = idx[:-1, :-1].ravel()
+    b = idx[1:, :-1].ravel()
+    c = idx[1:, 1:].ravel()
+    d = idx[:-1, 1:].ravel()
+    faces = np.concatenate(
+        [np.stack([a, b, c], -1), np.stack([a, c, d], -1)], axis=0)
+
+    f = faces.shape[0]
+    albedo = rng.uniform(0.3, 0.9, (f, 3)).astype(np.float32)
+    mesh = make_mesh(verts, faces, albedo=albedo, roughness=0.6)
+
+    spheres = make_scene(
+        centers=[(-3.0, 2.0, -8.0), (3.0, 2.5, -12.0), (0.0, 9.0, -12.0)],
+        radii=[1.2, 1.5, 2.0],
+        albedos=[(0.9, 0.3, 0.3), (0.85, 0.85, 0.9), (0.0, 0.0, 0.0)],
+        metallics=[0.0, 1.0, 0.0],
+        roughnesses=[0.4, 0.05, 0.0],
+        emissions=[(0, 0, 0), (0, 0, 0), (10.0, 10.0, 9.0)],
+        background=(0.2, 0.3, 0.5),
+    )
+    return spheres, mesh
+
+
 def cornell_box():
     """Cornell-style box as a TriangleMesh + a mirror/diffuse sphere pair.
 

@@ -111,9 +111,10 @@ def trace(
 
     ``mesh`` optionally adds a TriangleMesh to the scene: both geometries are
     intersected per bounce and the nearer surface shades (materials work
-    identically). ``use_bvh=True`` swaps the dense MXU sweep for LBVH
-    traversal (the scalable path for scenes past the brute-force crossover;
-    equivalent results — tests/test_bvh.py). With ``with_stats=True`` also
+    identically). ``use_bvh=True`` swaps the dense MXU sweeps for LBVH
+    traversal of *both* geometries — spheres and triangles (the scalable
+    path for scenes past the brute-force crossover; equivalent results —
+    tests/test_bvh.py, tests/test_triangle.py). With ``with_stats=True`` also
     returns the total number of ray segments traced (for Mrays/s accounting,
     SURVEY.md §5 tracing).
     """
@@ -126,9 +127,14 @@ def trace(
 
         bvh = scene_lbvh(scene)
     if mesh is not None:
-        from .triangle import intersect_mesh_brute, tri_attribute_matrix
+        if use_bvh:
+            from .triangle import intersect_mesh_bvh_hit, mesh_lbvh
 
-        tri_attr = tri_attribute_matrix(mesh)
+            tri_bvh = mesh_lbvh(mesh)
+        else:
+            from .triangle import intersect_mesh_brute, tri_attribute_matrix
+
+            tri_attr = tri_attribute_matrix(mesh)
     if max_depth < 1:
         # The C++ bounce loop body never runs for max_depth < 1
         # (raytracer_core.cpp:297): the result is black.
@@ -147,7 +153,11 @@ def trace(
         else:
             h = intersect_brute(scene, o, d, attr=attr)
         if mesh is not None:
-            h = combine_hits(h, intersect_mesh_brute(mesh, o, d, attr=tri_attr))
+            if use_bvh:
+                mh = intersect_mesh_bvh_hit(mesh, tri_bvh, o, d)
+            else:
+                mh = intersect_mesh_brute(mesh, o, d, attr=tri_attr)
+            h = combine_hits(h, mh)
 
         # Miss: add background through throughput, lane dies
         # (raytracer_core.cpp:306-311; v1 returns background up the chain,

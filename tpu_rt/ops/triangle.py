@@ -296,6 +296,39 @@ def intersect_mesh_bvh(mesh: TriangleMesh, bvh, origins, directions):
     return jnp.where(hit, t, T_MAX), jnp.where(hit, prim, -1)
 
 
+def intersect_mesh_bvh_hit(mesh: TriangleMesh, bvh, origins, directions):
+    """BVH-accelerated closest triangle hit returning the same Hit SoA as
+    intersect_mesh_brute — the drop-in mesh intersector for the integrator's
+    ``use_bvh`` path (the generalization the reference's templated
+    BVHTraversal::intersect was written for, cpp_raytracer/bvh.cpp:133-195,
+    but never wired in).
+
+    Attribute fetch is a per-ray gather on the winning triangle index:
+    O(1) per ray, appropriate past the brute-force crossover where the
+    one-hot (R, T) matmul would dominate.
+    """
+    from .intersect import Hit
+
+    t, prim = intersect_mesh_bvh(mesh, bvh, origins, directions)
+    hit = prim >= 0
+    idx = jnp.maximum(prim, 0)
+    n = mesh.normal[idx]
+    facing = jnp.sum(n * directions, axis=-1, keepdims=True) < 0.0
+    n = jnp.where(facing, n, -n)
+    return Hit(
+        hit=hit,
+        t=jnp.where(hit, t, T_MAX),
+        normal=n,
+        albedo=mesh.albedo[idx],
+        metallic=mesh.metallic[idx],
+        roughness=mesh.roughness[idx],
+        emission=mesh.emission[idx],
+        ior=mesh.ior[idx],
+        object_id=jnp.where(hit, mesh.object_id[idx].astype(jnp.float32),
+                            -1.0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # mesh factories (test/demo geometry)
 # ---------------------------------------------------------------------------
