@@ -197,3 +197,33 @@ def test_add_remove_stays_in_bucket_no_recompile():
     rt.set_scene(scene)
     assert rt._scene_arrays.capacity == cap0  # same bucket
     rt.render(8, 8, 1, 2)
+
+
+def test_use_bvh_flag_switches_intersector_same_image():
+    """Scene.use_bvh is honored end-to-end (old/binding copy.cpp:88): the
+    intersector switches, the image does not change (same RNG stream)."""
+    import numpy as np
+
+    imgs = {}
+    for flag in (True, False):
+        rt = RayTracer(seed=7)
+        scene = build_demo_scene()
+        scene.use_bvh = flag
+        rt.set_scene(scene)
+        imgs[flag] = rt.render(16, 16, 2, 3)
+        # On the CPU test backend the lax engine runs; use_bvh must reach it.
+        assert rt._last_engine == "lax"
+        assert rt._last_use_bvh is flag
+    a, b = imgs[True], imgs[False]
+    assert (np.abs(a - b) < 1e-3).mean() > 0.995
+
+
+def test_set_scene_caches_quantized_active_count():
+    """The quantized n_active is computed once at set_scene (no per-batch
+    device->host pull of scene.valid)."""
+    rt = RayTracer()
+    scene = build_demo_scene()
+    rt.set_scene(scene)
+    n = len(scene.spheres)
+    expect = min(rt._scene_arrays.capacity, -4 * (-n // 4))
+    assert rt._n_active == expect

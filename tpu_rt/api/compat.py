@@ -357,6 +357,13 @@ class RayTracer:
         # output contract
         self._linear = linear
         self._debug = DebugInfo()
+        # Cached at set_scene time (host-side): avoids a device->host pull
+        # of scene.valid on every render batch (steady-state interactive
+        # loops stay transfer-free).
+        self._n_active: int | None = None
+        # Observability: engine + intersector the last render() resolved to.
+        self._last_engine: str | None = None
+        self._last_use_bvh: bool | None = None
 
     # -- scene ----------------------------------------------------------
     def set_scene(self, scene: Scene):
@@ -385,6 +392,8 @@ class RayTracer:
             snap.spheres.append(c)
         self._scene_snapshot = snap
         self._scene_arrays = snap.to_arrays()
+        self._n_active = _F.quantize_count(
+            len(snap.spheres), self._scene_arrays.capacity)
         self._debug.build_count += 1
 
     # -- camera ---------------------------------------------------------
@@ -418,6 +427,16 @@ class RayTracer:
         seed = (self._seed_base * 1000003 + self._frame) & 0x7FFFFFFF
         key = jax.random.key(seed)
         self._frame += 1
+        # Honor the scene's use_bvh flag (old/binding copy.cpp:88 — the
+        # reference flag switches Scene::hit between BVH and brute force,
+        # old/raytracer_core copy.cpp:112-131): the lax engine swaps its
+        # dense sweeps for LBVH traversal; the megakernel's fused unroll is
+        # already the accelerated path at its scene sizes.
+        use_bvh = bool(self._scene_snapshot.use_bvh)
+        self._last_engine = _F.select_engine(
+            self._scene_arrays, self._mode, self._enable_refraction,
+            not self._linear, None, "auto")
+        self._last_use_bvh = use_bvh and self._last_engine == "lax"
         img = _F.render(
             self._scene_arrays, self.camera.to_params(), key,
             width=width, height=height, spp=samples_per_pixel,
@@ -425,6 +444,8 @@ class RayTracer:
             enable_refraction=self._enable_refraction,
             gamma=not self._linear,
             seed=seed,
+            use_bvh=use_bvh,
+            n_active=self._n_active,
         )
         self._debug.render_count += 1
         return np.asarray(img).reshape(-1)

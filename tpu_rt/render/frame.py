@@ -54,6 +54,31 @@ def _pallas_eligible(scene, mode, enable_refraction, gamma, mesh) -> bool:
     )
 
 
+def select_engine(scene, mode="v2", enable_refraction=False, gamma=True,
+                  mesh=None, engine="auto") -> str:
+    """Resolve the engine ``render`` will use for this configuration:
+    "pallas" (fused megakernel) or "lax" (general XLA pipeline)."""
+    if engine not in ("auto", "pallas", "lax"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "pallas" or (
+        engine == "auto"
+        and _pallas_eligible(scene, mode, enable_refraction, gamma, mesh)
+    ):
+        return "pallas"
+    return "lax"
+
+
+def quantize_count(n: int, capacity: int) -> int:
+    """Quantize an active-primitive count to the static kernel bucket.
+
+    n_active is a STATIC kernel parameter: a new value means a fresh
+    multi-minute Mosaic compile. Quantizing to multiples of 4 means
+    interactive add/remove only recompiles at group boundaries (the padding
+    rows it keeps are cheap).
+    """
+    return min(capacity, -4 * (-int(n) // 4)) if n else 1
+
+
 def render(
     scene: SphereScene,
     cam: CameraP,
@@ -71,6 +96,8 @@ def render(
     engine: str = "auto",
     seed: int | None = None,
     use_bvh: bool = False,
+    n_active: int | None = None,
+    n_tri_active: int | None = None,
 ):
     """Render one batch of ``spp`` samples; returns (height, width, 3) f32.
 
@@ -82,33 +109,33 @@ def render(
     when the configuration allows (v2 / spheres / gamma / TPU), else the
     XLA lax pipeline; "pallas"/"lax" force one. ``seed``: optional host
     integer used by the pallas engine instead of deriving one from ``key``
-    (saves device round-trips in interactive loops).
+    (saves device round-trips in interactive loops). ``use_bvh`` swaps the
+    lax engine's dense sweeps for LBVH traversal of both geometries (the
+    megakernel's fused unroll *is* the accelerated path at its scene sizes,
+    so it ignores the flag). ``n_active``/``n_tri_active``: quantized active
+    counts (quantize_count) cached by the caller — passing them avoids a
+    device->host pull of scene.valid on every interactive batch.
     """
-    if engine not in ("auto", "pallas", "lax"):
-        raise ValueError(f"unknown engine {engine!r}")
-    use_pallas = engine == "pallas" or (
-        engine == "auto"
-        and _pallas_eligible(scene, mode, enable_refraction, gamma, mesh)
-    )
+    use_pallas = select_engine(scene, mode, enable_refraction, gamma, mesh,
+                               engine) == "pallas"
     if use_pallas:
         from ..ops.pallas_megakernel import render_pallas
 
         if seed is None:
             seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
+
         def _quantized_count(valid, capacity):
-            # n_active is a STATIC kernel parameter: a new value means a
-            # fresh multi-minute Mosaic compile. Quantize the unroll length
-            # to multiples of 4 so interactive add/remove only recompiles at
-            # group boundaries (the padding rows it keeps are cheap).
+            # Fallback for direct library calls: one host pull per call.
+            # Interactive callers cache the count at scene-build time.
             try:
                 n = int(np.asarray(valid).sum())
             except Exception:
                 return None
-            return min(capacity, -4 * (-n // 4)) if n else 1
+            return quantize_count(n, capacity)
 
-        n_active = _quantized_count(scene.valid, scene.capacity)
-        n_tri_active = None
-        if mesh is not None:
+        if n_active is None:
+            n_active = _quantized_count(scene.valid, scene.capacity)
+        if mesh is not None and n_tri_active is None:
             n_tri_active = _quantized_count(mesh.valid, mesh.capacity)
         return render_pallas(
             scene, cam, seed, width=width, height=height, spp=spp,
