@@ -62,15 +62,32 @@ def _uniform(shape):
     return hi24.astype(jnp.float32) * (1.0 / 16777216.0)
 
 
+def _hash_uniform(pix, seed, salt):
+    """Counter-based integer-hash U[0,1): the interpret-mode RNG.
+
+    ``pltpu.prng_seed`` has no CPU/interpret lowering, so interpreted runs
+    (multi-device sharding validation on the virtual CPU mesh) derive
+    uniforms from a murmur3-style finalizer over (pixel id, stream seed,
+    call salt) — deterministic and distinct per pixel/sample/call site.
+    """
+    h = pix ^ (seed * jnp.int32(-1640531527))
+    h = h + jnp.int32(salt) * jnp.int32(40503)
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * jnp.int32(-2048144789)
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    h = h * jnp.int32(-1028477387)
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    hi24 = jax.lax.shift_right_logical(h, 8)
+    return hi24.astype(jnp.float32) * (1.0 / 16777216.0)
+
+
 def _rsqrt_safe(x):
     return jax.lax.rsqrt(jnp.maximum(x, 1e-20))
 
 
-def _unit_ball(shape):
-    """Uniform in the unit ball: uniform direction x cbrt-radius."""
-    u1 = _uniform(shape)
-    u2 = _uniform(shape)
-    u3 = _uniform(shape)
+def _unit_ball_from(u1, u2, u3):
+    """Uniform in the unit ball from three U[0,1) draws: uniform direction
+    x cbrt-radius."""
     z = 1.0 - 2.0 * u1
     r_xy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     phi = TWO_PI * u2
@@ -92,8 +109,11 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                  jitter=True, enable_refraction=False, gamma=True,
-                 rr_start=3):
-    """Build the kernel body for static (w, h, spp, depth, N)."""
+                 rr_start=3, hash_rng=False):
+    """Build the kernel body for static (w, h, spp, depth, N).
+
+    ``hash_rng=True`` swaps the hardware PRNG for the counter-hash RNG
+    (interpret mode — see _hash_uniform)."""
 
     def kernel(cam_ref, attr_ref, tri_geo_ref, tri_mat_ref, bg_ref,
                seed_ref, out_ref, segs_ref):
@@ -101,7 +121,9 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
         # unique, deterministic stream per (frame, tile); params_ref carries
         # [seed, pixel_offset] (offset > 0 when rendering a sharded row
         # block of a larger image)
-        pltpu.prng_seed(seed_ref[0] + t)
+        seed_scalar = seed_ref[0] + t
+        if not hash_rng:
+            pltpu.prng_seed(seed_scalar)
         pixel_offset = seed_ref[1]
 
         # camera scalars (packed by host): pos, forward, right, up, tf*aspect, tf
@@ -124,11 +146,28 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
 
         def sample_body(_s, acc):
             acc_r, acc_g, acc_b, seg_count = acc
+
+            if hash_rng:
+                # distinct salt per call site (Python counter over the
+                # unrolled trace) x per sample (_s folded into the seed)
+                _salt = [0]
+
+                def U():
+                    _salt[0] += 1
+                    return _hash_uniform(flat, seed_scalar + _s * 7919,
+                                         _salt[0])
+            else:
+                def U():
+                    return _uniform(shape)
+
+            def unit_ball():
+                return _unit_ball_from(U(), U(), U())
+
             # jittered pixel coords (raytracer_core.cpp:390-392);
             # jitter=False shoots pixel centers (deterministic goldens)
             if jitter:
-                xu = _uniform(shape)
-                xv = _uniform(shape)
+                xu = U()
+                xv = U()
             else:
                 xu = xv = 0.5
             u = (px + xu) * inv_w
@@ -277,7 +316,7 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                 # ---- Russian roulette (raytracer_core.cpp:317-329) ----
                 # rr_on is static: early bounces skip the RR code entirely.
                 if rr_on:
-                    xi_rr = _uniform(shape)
+                    xi_rr = U()
                     p = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)),
                                  0.1, 0.95)
                     act = act & (xi_rr < p)
@@ -304,7 +343,7 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                     nz = jnp.where(b_is_tri, b_tnz * tsgn, nz)
 
                 # ---- scatter (raytracer_core.cpp:334-347) ----
-                bx, by, bz = _unit_ball(shape)
+                bx, by, bz = unit_ball()
                 d_dot_n = _dot3(dx, dy, dz, nx, ny, nz)
                 rfx = dx - 2.0 * d_dot_n * nx
                 rfy = dy - 2.0 * d_dot_n * ny
@@ -343,7 +382,7 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                     omc2 = omc * omc
                     schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
                     reflect_prob = jnp.where(can, schlick, 1.0)
-                    use_refl = _uniform(shape) < reflect_prob
+                    use_refl = U() < reflect_prob
                     rf2x = dx - 2.0 * dt * nex
                     rf2y = dy - 2.0 * dt * ney
                     rf2z = dz - 2.0 * dt * nez
@@ -481,7 +520,8 @@ def render_pallas(
 
     kernel = _make_kernel(width, height, spp, max_depth, n_spheres,
                           n_tris=n_tris, jitter=jitter,
-                          enable_refraction=enable_refraction, gamma=gamma)
+                          enable_refraction=enable_refraction, gamma=gamma,
+                          hash_rng=interpret)
     out, segs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

@@ -63,7 +63,8 @@ def make_mesh(
 @partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "spp", "max_depth", "mode",
-                     "enable_refraction", "gamma", "engine", "n_active"),
+                     "enable_refraction", "gamma", "engine", "n_active",
+                     "interpret"),
 )
 def render_sharded(
     scene: SphereScene,
@@ -79,6 +80,7 @@ def render_sharded(
     gamma: bool = True,
     engine: str = "lax",
     n_active: int | None = None,
+    interpret: bool = False,
 ):
     """Render one frame over the mesh; returns (height, width, 3) f32.
 
@@ -117,6 +119,7 @@ def render_sharded(
                 spp=spp_per, max_depth=max_depth,
                 enable_refraction=enable_refraction, gamma=False,
                 n_active=n_active, rows=rows_per, row_offset=row0,
+                interpret=interpret,
             )
             band = jax.lax.pmean(band, axis_name="sample")
             if gamma:
