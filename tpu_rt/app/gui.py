@@ -34,6 +34,7 @@ except ImportError:  # pragma: no cover - headless image
 
     QThread = QMainWindow = _Stub  # type: ignore
 
+from . import panel_logic as PL
 from .interaction import RayTracerInteraction, RenderMode
 
 DARK_STYLESHEET = """
@@ -53,17 +54,16 @@ QProgressBar::chunk { background: #2d6da3; }
 QGroupBox { border: 1px solid #4a4a4a; margin-top: 8px; padding-top: 12px; }
 """
 
-# key -> camera direction (gui.py:1729-1795)
-_CAMERA_KEYS = {}
-_OBJECT_KEYS = {}
+# Qt key code -> panel_logic key name (routing itself lives in panel_logic)
+_KEY_NAMES = {}
 if HAVE_QT:
-    _CAMERA_KEYS = {
-        Qt.Key_W: "forward", Qt.Key_S: "backward", Qt.Key_A: "left",
-        Qt.Key_D: "right", Qt.Key_Space: "up", Qt.Key_Control: "down",
-    }
-    _OBJECT_KEYS = {
-        Qt.Key_I: (0, 0, -1), Qt.Key_K: (0, 0, 1), Qt.Key_J: (-1, 0, 0),
-        Qt.Key_L: (1, 0, 0), Qt.Key_U: (0, 1, 0), Qt.Key_O: (0, -1, 0),
+    _KEY_NAMES = {
+        Qt.Key_W: "w", Qt.Key_S: "s", Qt.Key_A: "a", Qt.Key_D: "d",
+        Qt.Key_Space: "space", Qt.Key_Control: "ctrl",
+        Qt.Key_I: "i", Qt.Key_K: "k", Qt.Key_J: "j", Qt.Key_L: "l",
+        Qt.Key_U: "u", Qt.Key_O: "o",
+        Qt.Key_X: "x", Qt.Key_Y: "y", Qt.Key_Z: "z",
+        Qt.Key_Escape: "escape",
     }
 
 
@@ -114,8 +114,7 @@ class ImageDisplay(QLabel if HAVE_QT else object):
         self._last = None
 
     def set_image(self, image: np.ndarray):
-        u8 = np.ascontiguousarray(
-            (np.clip(image, 0.0, 1.0) * 255).astype(np.uint8))
+        u8 = PL.to_uint8(image)
         h, w, _ = u8.shape
         qimg = QImage(u8.data, w, h, 3 * w, QImage.Format_RGB888)
         self._last = u8  # keep buffer alive
@@ -126,14 +125,9 @@ class ImageDisplay(QLabel if HAVE_QT else object):
         pm = self.pixmap()
         if pm is None:
             return None
-        # account for letterboxing around the scaled pixmap
-        ox = (self.width() - pm.width()) / 2
-        oy = (self.height() - pm.height()) / 2
-        x = (event.pos().x() - ox) / max(1, pm.width())
-        y = (event.pos().y() - oy) / max(1, pm.height())
-        if 0 <= x <= 1 and 0 <= y <= 1:
-            return x, y
-        return None
+        return PL.normalize_mouse(event.pos().x(), event.pos().y(),
+                                  self.width(), self.height(),
+                                  pm.width(), pm.height())
 
     def mousePressEvent(self, event):
         p = self._norm(event)
@@ -237,10 +231,7 @@ class ControlPanel(QTabWidget if HAVE_QT else object):
         lay.addStretch()
 
     def _set(self, key, value):
-        self.rt.settings[key] = value
-        if key in ("max_samples", "samples_per_batch", "max_depth",
-                   "exposure", "enhance_image"):
-            self.rt.restart_rendering()
+        PL.set_setting(self.rt, key, value)
 
     # -- scene tab (gui.py:247-325) -----------------------------------------
     def _build_scene_tab(self):
@@ -271,14 +262,9 @@ class ControlPanel(QTabWidget if HAVE_QT else object):
         lay.addStretch()
 
     def _apply_texture(self):
-        params = {
-            "scale": self.tex_scale.value(),
-            "octaves": self.tex_octaves.value(),
-        }
-        if self.tex_s.value() > 0:
-            params["tint_hsv"] = (self.tex_h.value(),
-                                  self.tex_s.value() / 100.0,
-                                  self.tex_v.value() / 100.0)
+        params = PL.texture_params(
+            self.tex_scale.value(), self.tex_octaves.value(),
+            self.tex_h.value(), self.tex_s.value(), self.tex_v.value())
         self.rt.set_object_texture(self.texture_type.currentText(), params)
 
     # -- camera tab (gui.py:327-459) ------------------------------------------
@@ -376,8 +362,7 @@ class ControlPanel(QTabWidget if HAVE_QT else object):
         oid = self.object_select.itemData(index)
         if oid is None:
             return
-        self.rt.settings["selected_object"] = oid
-        self.rt.object_dragger.selected_object_id = oid
+        PL.select_object(self.rt, oid)
         self.update_object_info()
         self.update_material_sliders()
 
@@ -385,28 +370,18 @@ class ControlPanel(QTabWidget if HAVE_QT else object):
         self._updating = True
         try:
             self.object_select.clear()
-            for s in self.rt.scene.spheres:
-                self.object_select.addItem(
-                    f"{s.object_id}: {s.name or 'Sphere'}", s.object_id)
-            # select current
-            oid = self.rt.settings["selected_object"]
-            for i in range(self.object_select.count()):
-                if self.object_select.itemData(i) == oid:
-                    self.object_select.setCurrentIndex(i)
-                    break
+            entries, current = PL.object_list_entries(self.rt)
+            for label, oid in entries:
+                self.object_select.addItem(label, oid)
+            if current >= 0:
+                self.object_select.setCurrentIndex(current)
         finally:
             self._updating = False
         self.update_object_info()
 
     def update_object_info(self):
-        obj = self.rt.get_selected_object()
-        if obj is None:
-            self.object_info.setText("none")
-            return
-        c = obj.center
         self.object_info.setText(
-            f"{obj.name}  pos=({c.x:.2f}, {c.y:.2f}, {c.z:.2f}) "
-            f"r={obj.radius:.2f}")
+            PL.object_info_text(self.rt.get_selected_object()))
 
     # -- material tab (gui.py:556-917) --------------------------------------------
     def _build_material_tab(self):
@@ -451,13 +426,10 @@ class ControlPanel(QTabWidget if HAVE_QT else object):
         obj = self.rt.get_selected_object()
         if obj is None:
             return
-        from ..api import Vector3
-
-        obj.material.albedo = Vector3(self.rgb_sliders["r"].value() / 100.0,
-                                      self.rgb_sliders["g"].value() / 100.0,
-                                      self.rgb_sliders["b"].value() / 100.0)
-        obj.material.metallic = self.metallic_slider.value() / 100.0
-        obj.material.roughness = self.roughness_slider.value() / 100.0
+        PL.apply_material_sliders(
+            obj, self.rgb_sliders["r"].value(), self.rgb_sliders["g"].value(),
+            self.rgb_sliders["b"].value(), self.metallic_slider.value(),
+            self.roughness_slider.value())
         self._material_timer.start(1000)  # debounce (gui.py:130-133)
 
     def _hsv_changed(self):
@@ -474,21 +446,17 @@ class ControlPanel(QTabWidget if HAVE_QT else object):
         self.rt.update_object_material_immediate()
 
     def update_material_sliders(self, skip_hsv=False):
-        obj = self.rt.get_selected_object()
-        if obj is None:
+        vals = PL.material_slider_values(self.rt.get_selected_object())
+        if vals is None:
             return
         self._updating = True
         try:
-            a = obj.material.albedo
-            self.rgb_sliders["r"].setValue(int(a.x * 100))
-            self.rgb_sliders["g"].setValue(int(a.y * 100))
-            self.rgb_sliders["b"].setValue(int(a.z * 100))
-            self.metallic_slider.setValue(int(obj.material.metallic * 100))
-            self.roughness_slider.setValue(int(obj.material.roughness * 100))
-            e = obj.material.emission
-            power = max(e.x, e.y, e.z)
-            if power > 0.1:
-                self.light_power.setValue(power)
+            for ch in "rgb":
+                self.rgb_sliders[ch].setValue(vals[ch])
+            self.metallic_slider.setValue(vals["metallic"])
+            self.roughness_slider.setValue(vals["roughness"])
+            if "light_power" in vals:
+                self.light_power.setValue(vals["light_power"])
         finally:
             self._updating = False
 
@@ -512,9 +480,7 @@ class ControlPanel(QTabWidget if HAVE_QT else object):
         self.rt.settings["show_denoisers"] = enabled
 
     def _toggle_denoiser(self, method, enabled):
-        sel = set(self.rt.settings["selected_denoisers"])
-        (sel.add if enabled else sel.discard)(method)
-        self.rt.settings["selected_denoisers"] = sorted(sel)
+        PL.toggle_denoiser(self.rt.settings, method, enabled)
 
 
 class GUI(QMainWindow if HAVE_QT else object):
@@ -586,14 +552,12 @@ class GUI(QMainWindow if HAVE_QT else object):
         self.statusBar().addWidget(self.status_label, 1)
         self.statusBar().addPermanentWidget(self.progress)
 
-        # mouse routing (gui.py:1655-1727)
+        # mouse routing (gui.py:1655-1727) — state machine lives headless
         for disp in (self.main_display, self.enhanced_display):
             disp.mouse_pressed.connect(self._on_mouse_press)
             disp.mouse_moved.connect(self._on_mouse_move)
             disp.mouse_released.connect(self._on_mouse_release)
-        self._mouse_last = None
-        self._rotating = False
-        self._dragging = False
+        self._mouse = PL.MouseRouter(self.raytracer)
 
         # 100 ms camera panel sync (gui.py:1230-1232)
         self.cam_timer = QTimer(self)
@@ -615,15 +579,11 @@ class GUI(QMainWindow if HAVE_QT else object):
         for m, img in frame.get("denoised", {}).items():
             if m in self.denoiser_displays:
                 self.denoiser_displays[m].set_image(img)
+        text, pct = PL.format_status(
+            frame, self.raytracer.settings["max_samples"])
+        self.status_label.setText(text)
         if frame.get("is_raytracing"):
-            samples = frame["samples"]
-            total = self.raytracer.settings["max_samples"]
-            self.status_label.setText(
-                f"Samples: {samples}/{total} | "
-                f"Batch: {frame['render_time']:.3f}s | Mode: {frame['mode']}")
-            self.progress.setValue(int(100 * samples / max(1, total)))
-        else:
-            self.status_label.setText(f"Mode: {frame['mode']}")
+            self.progress.setValue(pct)
 
     # -- modes ----------------------------------------------------------------
     def _set_mode(self, mode: RenderMode):
@@ -637,73 +597,33 @@ class GUI(QMainWindow if HAVE_QT else object):
 
     # -- mouse (gui.py:1655-1727) ----------------------------------------------
     def _on_mouse_press(self, x, y, button):
-        self._mouse_last = (x, y)
-        if button == Qt.RightButton:
-            self._rotating = True
-            self.raytracer.start_camera_rotation(x, y)
-        else:
-            dragger = self.raytracer.object_dragger
-            if dragger.lock_x or dragger.lock_y or dragger.lock_z:
-                self._dragging = self.raytracer.start_object_dragging(x, y)
-            else:
-                self.raytracer.select_object_by_click(x, y)
+        self._mouse.press(x, y,
+                          "right" if button == Qt.RightButton else "left")
 
     def _on_mouse_move(self, x, y):
-        if self._mouse_last is None:
-            self._mouse_last = (x, y)
-            return
-        dx = x - self._mouse_last[0]
-        dy = y - self._mouse_last[1]
-        if self._rotating:
-            self.raytracer.update_camera_rotation(dx * 300, dy * 300)
-            self._mouse_last = (x, y)
-        elif self._dragging:
-            self.raytracer.update_object_dragging(dx, dy)
+        self._mouse.move(x, y)
 
     def _on_mouse_release(self):
-        if self._rotating:
-            self._rotating = False
-            self.raytracer.stop_camera_rotation()
-        if self._dragging:
-            self._dragging = False
-            self.raytracer.stop_object_dragging()
-        self._mouse_last = None
+        self._mouse.release()
 
     # -- keyboard (gui.py:1729-1807) ---------------------------------------------
     def keyPressEvent(self, event):
         if event.isAutoRepeat():
             return
-        key = event.key()
-        if key in _CAMERA_KEYS:
-            self.raytracer.set_camera_key_state(_CAMERA_KEYS[key], True)
-        elif key in _OBJECT_KEYS:
-            self.raytracer.move_object(*_OBJECT_KEYS[key])
-        elif key == Qt.Key_X:
-            self.raytracer.set_dimension_lock("x", True)
-        elif key == Qt.Key_Y:
-            self.raytracer.set_dimension_lock("y", True)
-        elif key == Qt.Key_Z:
-            self.raytracer.set_dimension_lock("z", True)
-        elif key == Qt.Key_Escape:
-            self.raytracer.stop_object_dragging()
+        name = _KEY_NAMES.get(event.key())
+        if name:
+            PL.route_key(self.raytracer, name, True)
 
     def keyReleaseEvent(self, event):
         if event.isAutoRepeat():
             return
-        key = event.key()
-        if key in _CAMERA_KEYS:
-            self.raytracer.set_camera_key_state(_CAMERA_KEYS[key], False)
-        elif key == Qt.Key_X:
-            self.raytracer.set_dimension_lock("x", False)
-        elif key == Qt.Key_Y:
-            self.raytracer.set_dimension_lock("y", False)
-        elif key == Qt.Key_Z:
-            self.raytracer.set_dimension_lock("z", False)
+        name = _KEY_NAMES.get(event.key())
+        if name:
+            PL.route_key(self.raytracer, name, False)
 
     def focusOutEvent(self, event):
         # clear key state on focus loss (gui.py:1810-1820)
-        for k in self.raytracer.camera_controller.keys_pressed:
-            self.raytracer.set_camera_key_state(k, False)
+        PL.clear_camera_keys(self.raytracer)
 
     def closeEvent(self, event):
         self.render_thread.stop()
