@@ -67,6 +67,33 @@ def main():
             sc, cam, s, width=W, height=H, spp=SPP, max_depth=D, n_active=n))
         rows.append((f"random {n} spheres / pallas", dt, prim / dt / 1e6))
 
+    # large scenes: cluster engine vs (small-N) megakernel — the crossover
+    # table (VERDICT r1 item 3). The cluster engine reports traced Mrays/s
+    # too via with_stats on a single dispatch.
+    from tpu_rt.ops.pallas_cluster import render_cluster
+
+    fcam = jax.device_put(
+        tpu_rt.make_camera(position=(0, 6, 40), target=(0, 0, -18),
+                           aspect=W / H), dev)
+    for n, spread in ((64, 10.0), (256, 16.0), (1000, 30.0), (4096, 30.0),
+                      (10000, 30.0), (100000, 95.0)):
+        sc = jax.device_put(random_spheres(n, seed=1, spread=spread), dev)
+        dt = steady_state(lambda s, sc=sc, n=n: render_cluster(
+            sc, fcam, s, width=W, height=H, spp=SPP, max_depth=D,
+            n_active=n), reps=2, chain=3)
+        _, segs = render_cluster(sc, fcam, 0, width=W, height=H, spp=SPP,
+                                 max_depth=D, n_active=n, with_stats=True)
+        traced = int(segs) / dt / 1e6
+        rows.append((f"random {n} spheres / cluster", dt,
+                     prim / dt / 1e6))
+        rows.append((f"random {n} spheres / cluster (traced)", dt, traced))
+        if n <= 64:
+            dt = steady_state(lambda s, sc=sc, n=n: render_pallas(
+                sc, fcam, s, width=W, height=H, spp=SPP, max_depth=D,
+                n_active=n), reps=2, chain=3)
+            rows.append((f"random {n} spheres / pallas (same cam)", dt,
+                         prim / dt / 1e6))
+
     spheres, mesh = cornell_box()
     spheres = jax.device_put(spheres, dev)
     mesh = jax.device_put(mesh, dev)

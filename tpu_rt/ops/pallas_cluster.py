@@ -1,0 +1,741 @@
+"""Pallas TPU cluster engine: the scalable large-scene path tracer.
+
+The fused megakernel (tpu_rt.ops.pallas_megakernel) unrolls every primitive
+into the instruction stream — unbeatable below ~64 primitives, impossible at
+10k. This engine is the TPU-native answer to the reference's BVH traversal
+(SceneIntersector::intersect, cpp_raytracer/raytracer_core.cpp:191-273) for
+large scenes, designed around what the hardware can and cannot do:
+
+  * Per-ray pointer-chasing traversal is hostile to a vector machine: each
+    step is a dependent gather. Instead, primitives are **Morton-sorted and
+    grouped into clusters of C** with precomputed AABBs — a two-level wide
+    "BVH" whose topology is implicit (dense cluster list), so traversal is
+    a data-independent loop the compiler can schedule.
+  * Rays are tiled into (32, 128)-pixel **screen blocks** (not row runs):
+    a compact frustum means a tile's rays cross few cluster boxes, and
+    bounce rays originate from a compact footprint, keeping the per-tile
+    crossing union small for the thin scenes path tracing actually renders.
+  * Traversal is two compacted phases, sized by measured scalar-core costs
+    (a fori_loop iteration is ~86 ns, a vector->scalar any() sync ~130 ns):
+    phase A slab-tests only the S super-boxes (unions of FANOUT children)
+    and compacts the crossed ones into an SMEM list; phase B's dynamic trip
+    count is crossed_supers x FANOUT, each visit child-slab-testing before
+    the `pl.when`-guarded sweep. Supers and children are stored near-to-far
+    from the camera, so early sweeps shrink best_t and the running-t slab
+    bound prunes the far boxes — the reference's closest-t stack pruning
+    (raytracer_core.cpp:212-217), amortized to storage order.
+  * Each crossed cluster's attribute block is DMA'd (double-buffered, one
+    lane-aligned (rows, 128) tile) into SMEM scratch so the unrolled
+    C-primitive sweep reads at STATIC offsets — dynamic-index VMEM scalar
+    loads measure ~45 ns each and dominate everything if used instead.
+  * Shading attributes are packed as bf16 pairs (5 words instead of 9
+    floats): fewer winner selects per primitive and 10 instead of 14
+    best-state planes.
+  * A handful of **global primitives** (the largest spheres — e.g. the
+    ground sphere, whose box would cover the whole scene and defeat
+    culling) are swept densely for every ray, exactly like the megakernel.
+  * Best-hit state lives in VMEM scratch planes so the `pl.when` bodies can
+    mutate it in place (fori carries cannot cross a `when`).
+  * spp is a **revisited grid dimension** (out block accumulates across the
+    innermost grid axis) rather than an in-kernel loop — Mosaic rejects
+    nested fori_loops, and the traversal needs the loop level.
+
+Estimator: v2 reference semantics, identical to the megakernel
+(PathTracer::trace_ray, raytracer_core.cpp:291-351). Measured (TPU v5e,
+1080p @ 4 spp depth 4, random-spheres field): 235 Mrays/s at N=1k,
+101 Mrays/s at N=10k (112 with fast_sweep), 29 Mrays/s at N=100k —
+vs 3 Mrays/s for the dense megakernel sweep extrapolated to 10k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import CameraP, SphereScene, T_MAX
+from .bvh import morton_codes
+from .pallas_megakernel import (
+    _hash_uniform,
+    _normalize3,
+    _dot3,
+    _pack_camera,
+    _uniform,
+    _unit_ball_from,
+)
+
+SUBLANES = 32
+LANES = 128
+TILE = SUBLANES * LANES  # rays per program (one 32x128 pixel block)
+
+# Defaults chosen by crossover measurement (benchmarks/bench_scenes.py).
+DEFAULT_CLUSTER = 64
+DEFAULT_GLOBAL = 4
+# Children per super-cluster: the traversal loop iterates supers only (a
+# fori_loop iteration costs ~150-300 ns of scalar-core overhead — measured —
+# so iterations must shrink 8x; children are a static unroll inside the
+# super's pl.when).
+FANOUT = 8
+
+BIG = jnp.float32(3.0e38)
+
+
+class ClusteredScene(NamedTuple):
+    """Morton-clustered sphere scene, ready for the cluster kernel.
+
+    glob_attr: (G, 16) the G largest spheres (dense sweep, SMEM)
+    boxes:     (K, 8) cluster AABBs [minx,miny,minz,maxx,maxy,maxz,pad,pad]
+    attr:      (K*C, 16) clustered sphere attributes (VMEM table), rows in
+               Morton order; padding rows have inv_r == 0 (never hit)
+    """
+
+    glob_attr: jnp.ndarray
+    boxes: jnp.ndarray        # (S*FANOUT, 8) child cluster AABBs
+    super_boxes: jnp.ndarray  # (S, 8) super-cluster AABBs (union of children)
+    attr: jnp.ndarray         # (S*FANOUT, C*16/128, 128) field-major blocks
+    background: jnp.ndarray
+
+    @property
+    def n_global(self) -> int:
+        return self.glob_attr.shape[0]
+
+    @property
+    def n_supers(self) -> int:
+        return self.super_boxes.shape[0]
+
+    @property
+    def n_clusters(self) -> int:
+        return self.boxes.shape[0]
+
+    @property
+    def cluster_size(self) -> int:
+        return self.attr.shape[1] * LANES // 16
+
+
+def _pack_bf16_pair(a, b):
+    """Pack two f32 arrays into one f32 word as bf16 halves (round to
+    nearest). Shading attributes tolerate bf16 (~0.4% rel); halving the
+    attribute columns cuts per-primitive winner selects and best-state
+    planes from 14 to 10 — a measured ~15% sweep saving."""
+    def to_bf16_bits(x):
+        bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        rounded = bits + 0x7FFF + ((bits >> 16) & 1)
+        return rounded >> 16
+
+    word = (to_bf16_bits(b) << 16) | to_bf16_bits(a)
+    return jax.lax.bitcast_convert_type(word.astype(jnp.uint32), jnp.float32)
+
+
+def _pack_attr_cols(attr):
+    """(N, 16) full-precision attribute rows -> packed layout:
+    cols 0-2 center, 3 radius, 4 inv_r, 5 (ar,ag), 6 (ab,met), 7 (rgh,ior),
+    8 (er,eg), 9 (eb,-), 10-15 pad."""
+    zeros = jnp.zeros_like(attr[:, 0])
+    packed = jnp.stack([
+        attr[:, 0], attr[:, 1], attr[:, 2], attr[:, 3], attr[:, 14],
+        _pack_bf16_pair(attr[:, 4], attr[:, 5]),
+        _pack_bf16_pair(attr[:, 6], attr[:, 7]),
+        _pack_bf16_pair(attr[:, 8], attr[:, 12]),
+        _pack_bf16_pair(attr[:, 9], attr[:, 10]),
+        _pack_bf16_pair(attr[:, 11], zeros),
+        zeros, zeros, zeros, zeros, zeros, zeros,
+    ], axis=-1)
+    return packed
+
+
+@partial(jax.jit, static_argnames=("cluster_size", "n_global", "n_active"))
+def build_clusters(
+    scene: SphereScene,
+    cluster_size: int = DEFAULT_CLUSTER,
+    n_global: int = DEFAULT_GLOBAL,
+    n_active: int | None = None,
+) -> ClusteredScene:
+    """On-device preprocessing: sort by radius (largest G go global), Morton-
+    order the rest into clusters of C, compute cluster AABBs.
+
+    Pure XLA — scene edits re-cluster without host round-trips (the same
+    contract as the LBVH build, SURVEY.md §7 step 5). ``n_active`` bounds
+    the padded bucket to a static count (quantized by the caller).
+    """
+    from .intersect import attribute_matrix
+
+    n = scene.capacity if n_active is None else n_active
+    scene = jax.tree.map(lambda a: a[:n] if a.ndim >= 1 and
+                         a.shape[0] == scene.capacity else a, scene)
+    C = cluster_size
+    if (C * 16) % LANES != 0:
+        raise ValueError("cluster_size must be a multiple of 8")
+    G = min(n_global, n)
+
+    valid = scene.valid
+    # Global set: the G largest valid spheres (ground etc. — boxes that
+    # would span the scene). argsort on (-radius, invalid-last).
+    radius_key = jnp.where(valid, scene.radius, -1.0)
+    order_by_r = jnp.argsort(-radius_key)
+    glob_idx = order_by_r[:G]
+    attr_full = attribute_matrix(scene)  # (n, 16)
+    glob_attr = attr_full[glob_idx]
+    # Invalid rows in the global set must never hit: zero their inv_r col.
+    glob_ok = valid[glob_idx]
+    glob_attr = glob_attr.at[:, 14].set(
+        jnp.where(glob_ok, glob_attr[:, 14], 0.0))
+    glob_attr = _pack_attr_cols(glob_attr)
+
+    # Rest: mask out the globals, Morton-sort the remainder.
+    is_global = jnp.zeros((n,), bool).at[glob_idx].set(True)
+    rest = valid & ~is_global
+    code = morton_codes(scene.center, rest)  # invalid -> max code (tail)
+    order = jnp.argsort(code)
+
+    m = n  # sorted list length (tail is padding)
+    K = max(1, -(-m // C))
+    K = -(-K // FANOUT) * FANOUT  # pad cluster count to full supers
+    pad = K * C - m
+    order_p = jnp.pad(order, (0, pad))  # padded rows point anywhere...
+    rest_p = jnp.pad(rest[order], (0, pad))  # ...but are masked here
+
+    attr = attr_full[order_p]
+    # padding/non-rest rows: inv_r = 0 -> the sweep's `ok` test fails
+    attr = attr.at[:, 14].set(jnp.where(rest_p, attr[:, 14], 0.0))
+    attr = _pack_attr_cols(attr)
+
+    c = attr[:, 0:3].reshape(K, C, 3)
+    r = attr[:, 3].reshape(K, C, 1)
+    ok = rest_p.reshape(K, C, 1)
+    lo = jnp.min(jnp.where(ok, c - r, BIG), axis=1)
+    hi = jnp.max(jnp.where(ok, c + r, -BIG), axis=1)
+    boxes = jnp.concatenate(
+        [lo, hi, jnp.zeros((K, 2), jnp.float32)], axis=-1)
+    # Super-cluster boxes: union over each FANOUT-group of children (empty
+    # children carry inverted boxes, so min/max unions stay correct).
+    S = K // FANOUT
+    s_lo = jnp.min(lo.reshape(S, FANOUT, 3), axis=1)
+    s_hi = jnp.max(hi.reshape(S, FANOUT, 3), axis=1)
+    super_boxes = jnp.concatenate(
+        [s_lo, s_hi, jnp.zeros((S, 2), jnp.float32)], axis=-1)
+    # Field-major (K, C*16/128, 128) DMA blocks: one lane-aligned tile per
+    # cluster, copied whole into SMEM scratch so the sweep reads at STATIC
+    # offsets (dynamic-index VMEM scalar loads measure ~45 ns each and
+    # dominate everything; static SMEM reads are near-free).
+    attr_blocks = attr.reshape(K, C, 16)
+    attr_blocks = jnp.transpose(attr_blocks, (0, 2, 1))  # (K, 16, C)
+    attr_blocks = attr_blocks.reshape(K, (C * 16) // LANES, LANES)
+    return ClusteredScene(glob_attr=glob_attr, boxes=boxes,
+                          super_boxes=super_boxes, attr=attr_blocks,
+                          background=scene.background)
+
+
+def _order_near_to_far(cl: ClusteredScene, cam_pos) -> ClusteredScene:
+    """Permute supers (and children within each super) by distance from the
+    camera. The traversal visits the compacted crossed list in storage
+    order, so near-to-far storage gives approximate front-to-back traversal:
+    early sweeps shrink best_t and the running-t slab bound prunes the far
+    boxes — the same closest-t pruning the reference's stack walk does
+    per-node (raytracer_core.cpp:212-217), amortized to the frame level.
+    Camera distance is exact for primary rays and a good proxy for bounce
+    rays (their origins lie on primary hit points).
+    """
+    def dist(boxes):
+        center = (boxes[:, 0:3] + boxes[:, 3:6]) * 0.5
+        d = jnp.linalg.norm(center - cam_pos[None, :], axis=-1)
+        # empty boxes (inverted: lo=BIG) sort to the tail
+        return jnp.where(boxes[:, 0] >= BIG, jnp.float32(1e30), d)
+
+    S = cl.n_supers
+    s_order = jnp.argsort(dist(cl.super_boxes))
+    boxes_g = cl.boxes.reshape(S, FANOUT, 8)[s_order]
+    attr_g = cl.attr.reshape(S, FANOUT, *cl.attr.shape[1:])[s_order]
+    child_d = jax.vmap(dist)(boxes_g)
+    c_order = jnp.argsort(child_d, axis=-1)
+    boxes_g = jnp.take_along_axis(boxes_g, c_order[..., None], axis=1)
+    attr_g = jnp.take_along_axis(
+        attr_g, c_order[..., None, None], axis=1)
+    return cl._replace(
+        super_boxes=cl.super_boxes[s_order],
+        boxes=boxes_g.reshape(-1, 8),
+        attr=attr_g.reshape(-1, *cl.attr.shape[1:]),
+    )
+
+
+def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
+                 cluster_size, jitter=True, enable_refraction=False,
+                 gamma=True, rr_start=3, hash_rng=False, fast_sweep=False):
+    C = cluster_size
+    G = n_global
+    S = n_supers
+    blocks_x = -(-width // LANES)
+
+    def kernel(cam_ref, glob_ref, sboxes_ref, boxes_ref, bg_ref, seed_ref,
+               attr_ref, out_ref, segs_ref, best_ref, attr_scratch,
+               slist_ref, count_ref, dma_sem):
+        t = pl.program_id(0)
+        s = pl.program_id(1)
+        seed_scalar = seed_ref[0] + t * n_spp + s
+        if not hash_rng:
+            pltpu.prng_seed(seed_scalar)
+
+        cpx, cpy, cpz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+        fwx, fwy, fwz = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+        rix, riy, riz = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+        upx, upy, upz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+        tf_aspect, tf = cam_ref[0, 12], cam_ref[0, 13]
+        bgx, bgy, bgz = bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2]
+
+        shape = (SUBLANES, LANES)
+        sub = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        # screen-block pixel mapping: tile t covers rows
+        # [bi*32, bi*32+32) x cols [bj*128, bj*128+128)
+        bi = t // blocks_x
+        bj = t % blocks_x
+        pxi = bj * LANES + lane
+        pyi = bi * SUBLANES + sub
+        px = pxi.astype(jnp.float32)
+        py = pyi.astype(jnp.float32)
+        flat = pyi * width + pxi  # hash-RNG stream id
+
+        inv_w = 1.0 / width
+        inv_h = 1.0 / height
+
+        if hash_rng:
+            _salt = [0]
+
+            def U():
+                _salt[0] += 1
+                return _hash_uniform(flat, seed_scalar, _salt[0])
+        else:
+            def U():
+                return _uniform(shape)
+
+        def unit_ball():
+            return _unit_ball_from(U(), U(), U())
+
+        # ---- primary ray ----
+        if jitter:
+            xu = U()
+            xv = U()
+        else:
+            xu = xv = 0.5
+        u = (px + xu) * inv_w
+        v = (py + xv) * inv_h
+        vx = (u - 0.5) * 2.0 * tf_aspect
+        vy = (0.5 - v) * 2.0 * tf
+        dx = fwx + rix * vx + upx * vy
+        dy = fwy + riy * vx + upy * vy
+        dz = fwz + riz * vx + upz * vy
+        dx, dy, dz = _normalize3(dx, dy, dz)
+        ox = jnp.full(shape, cpx)
+        oy = jnp.full(shape, cpy)
+        oz = jnp.full(shape, cpz)
+
+        tr = jnp.ones(shape, jnp.float32)
+        tg = jnp.ones(shape, jnp.float32)
+        tb = jnp.ones(shape, jnp.float32)
+        cr = jnp.zeros(shape, jnp.float32)
+        cg = jnp.zeros(shape, jnp.float32)
+        cb = jnp.zeros(shape, jnp.float32)
+        act = jnp.ones(shape, jnp.bool_)
+        seg_count = jnp.int32(0)
+
+        def sweep(read, count, best, fast=False):
+            """Unrolled sphere sweep updating the best-hit tuple (packed
+            attribute layout, _pack_attr_cols); ``read(j, field)`` fetches
+            attribute scalars at STATIC offsets (globals: SMEM input;
+            clusters: the DMA'd SMEM scratch block). ``fast=True`` skips
+            the far root (origin-inside-sphere case) — valid for cluster
+            primitives when refraction is off: scatter rays always leave
+            the surface outward, so only the near root can win."""
+            (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
+             b_p4) = best
+            for j in range(count):
+                row = j
+                scx, scy, scz = read(row, 0), read(row, 1), read(row, 2)
+                rad = read(row, 3)
+                inv_rad = read(row, 4)
+                ocx = ox_b - scx
+                ocy = oy_b - scy
+                ocz = oz_b - scz
+                half_b = ocx * dx_b + ocy * dy_b + ocz * dz_b
+                cq = (ocx * ocx + ocy * ocy + ocz * ocz) - rad * rad
+                disc = half_b * half_b - cq  # a == 1 (normalized d)
+                sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                root0 = -half_b - sqrtd
+                in0 = (root0 >= 1e-3) & (root0 <= best_t)
+                if fast and not enable_refraction:
+                    root = root0
+                    ok = (disc >= 0.0) & in0 & (inv_rad > 0.0)
+                else:
+                    root1 = -half_b + sqrtd
+                    in1 = (root1 >= 1e-3) & (root1 <= best_t)
+                    root = jnp.where(in0, root0, root1)
+                    ok = (disc >= 0.0) & (in0 | in1) & (inv_rad > 0.0)
+                better = ok & (root < best_t)
+                best_t = jnp.where(better, root, best_t)
+                b_cx = jnp.where(better, scx, b_cx)
+                b_cy = jnp.where(better, scy, b_cy)
+                b_cz = jnp.where(better, scz, b_cz)
+                b_ir = jnp.where(better, inv_rad, b_ir)
+                b_p0 = jnp.where(better, read(row, 5), b_p0)
+                b_p1 = jnp.where(better, read(row, 6), b_p1)
+                b_p2 = jnp.where(better, read(row, 7), b_p2)
+                b_p3 = jnp.where(better, read(row, 8), b_p3)
+                b_p4 = jnp.where(better, read(row, 9), b_p4)
+            return (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
+                    b_p4)
+
+        def _read_glob(j, field):
+            return glob_ref[j, field]
+
+        def _make_read_cluster(buf):
+            def _read_cluster(j, field):
+                # field-major block layout (build_clusters)
+                idx = field * C + j
+                return attr_scratch[buf, idx // LANES, idx % LANES]
+            return _read_cluster
+
+        def _visit_kk(i):
+            return slist_ref[i // FANOUT] * FANOUT + i % FANOUT
+
+        def _dma(i, buf):
+            return pltpu.make_async_copy(
+                attr_ref.at[_visit_kk(i)], attr_scratch.at[buf],
+                dma_sem.at[buf])
+
+        # ---- bounce loop (unrolled; one fori level stays free for the
+        # cluster loop) ----
+        for depth_idx in range(1, max_depth + 1):
+            rr_on = depth_idx > rr_start
+            seg_count = seg_count + jnp.sum(act.astype(jnp.int32))
+
+            # the sweep closures read the CURRENT bounce's rays
+            ox_b, oy_b, oz_b = ox, oy, oz
+            dx_b, dy_b, dz_b = dx, dy, dz
+
+            # global sweep in registers
+            zero = jnp.zeros(shape, jnp.float32)
+            best = (jnp.full(shape, T_MAX),) + (zero,) * 9
+            if G:
+                best = sweep(_read_glob, G, best)
+            # park the running best in scratch so pl.when bodies can update
+            for i, plane in enumerate(best):
+                best_ref[i] = plane
+
+            # cluster loop with tile-level culling
+            inv_dx = 1.0 / jnp.where(jnp.abs(dx_b) > 1e-20, dx_b,
+                                     jnp.where(dx_b >= 0, 1e-20, -1e-20))
+            inv_dy = 1.0 / jnp.where(jnp.abs(dy_b) > 1e-20, dy_b,
+                                     jnp.where(dy_b >= 0, 1e-20, -1e-20))
+            inv_dz = 1.0 / jnp.where(jnp.abs(dz_b) > 1e-20, dz_b,
+                                     jnp.where(dz_b >= 0, 1e-20, -1e-20))
+            act_b = act
+
+            def slab(box_ref, row):
+                """Per-ray box crossing mask, bounded by the running
+                best_t (AABB::intersect, raytracer_core.h:132-153)."""
+                x0 = box_ref[row, 0]
+                y0 = box_ref[row, 1]
+                z0 = box_ref[row, 2]
+                x1 = box_ref[row, 3]
+                y1 = box_ref[row, 4]
+                z1 = box_ref[row, 5]
+                tx0 = (x0 - ox_b) * inv_dx
+                tx1 = (x1 - ox_b) * inv_dx
+                ty0 = (y0 - oy_b) * inv_dy
+                ty1 = (y1 - oy_b) * inv_dy
+                tz0 = (z0 - oz_b) * inv_dz
+                tz1 = (z1 - oz_b) * inv_dz
+                enter = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), 1e-3))
+                exit_ = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), best_ref[0]))
+                return (exit_ >= enter) & act_b
+
+            # Two-phase traversal. A fori_loop iteration costs ~86 ns of
+            # scalar-core overhead plus ~130 ns per vector->scalar any()
+            # sync (measured), so visiting all K clusters per bounce is the
+            # floor that killed the flat loop. Phase A visits only the S
+            # super-boxes and COMPACTS the crossed ones into an SMEM list;
+            # phase B's trip count is crossed_supers * FANOUT — typically a
+            # handful — with the (single-copy) sweep behind a per-cluster
+            # child-box test. Register pressure stays low because the sweep
+            # body exists exactly once.
+            def super_scan(ss, _):
+                @pl.when(jnp.any(slab(sboxes_ref, ss)))
+                def _():
+                    idx = count_ref[0]
+                    slist_ref[idx] = ss
+                    count_ref[0] = idx + 1
+
+                return 0
+
+            def cluster_visit(i, visits):
+                buf = jax.lax.rem(i, 2)
+                kk = _visit_kk(i)
+                # consume this buffer's in-flight prefetch, then immediately
+                # prefetch visit i+1 into the other buffer: the next DMA
+                # overlaps this visit's test + sweep
+                _dma(i, buf).wait()
+
+                @pl.when(i + 1 < visits)
+                def _():
+                    _dma(i + 1, 1 - buf).start()
+
+                @pl.when(jnp.any(slab(boxes_ref, kk)))
+                def _():
+                    best_s = tuple(best_ref[i2] for i2 in range(10))
+                    best_s = sweep(_make_read_cluster(buf), C, best_s,
+                                   fast=fast_sweep)
+                    for i2, plane in enumerate(best_s):
+                        best_ref[i2] = plane
+
+                return visits
+
+            @pl.when(jnp.any(act))
+            def _():
+                count_ref[0] = 0
+                jax.lax.fori_loop(0, S, super_scan, 0)
+                visits = count_ref[0] * FANOUT
+
+                @pl.when(visits > 0)
+                def _():
+                    _dma(0, 0).start()
+
+                jax.lax.fori_loop(0, visits, cluster_visit, visits)
+
+            (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
+             b_p4) = tuple(best_ref[i] for i in range(10))
+
+            def unpack(p):
+                bits = pltpu.bitcast(p, jnp.int32)
+                lo = pltpu.bitcast(jax.lax.shift_left(bits, 16), jnp.float32)
+                hi = pltpu.bitcast(bits & jnp.int32(-65536), jnp.float32)
+                return lo, hi
+
+            b_ar, b_ag = unpack(b_p0)
+            b_ab, b_met = unpack(b_p1)
+            b_rgh, b_ior = unpack(b_p2)
+            b_er, b_eg = unpack(b_p3)
+            b_eb, _unused = unpack(b_p4)
+
+            # ---- shading (identical to the megakernel) ----
+            hit = best_t < T_MAX
+            miss = act & ~hit
+            missf = miss.astype(jnp.float32)
+            cr = cr + missf * tr * bgx
+            cg = cg + missf * tg * bgy
+            cb = cb + missf * tb * bgz
+            act = act & hit
+            actf = act.astype(jnp.float32)
+            cr = cr + actf * tr * b_er
+            cg = cg + actf * tg * b_eg
+            cb = cb + actf * tb * b_eb
+
+            if rr_on:
+                xi_rr = U()
+                p = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)), 0.1, 0.95)
+                act = act & (xi_rr < p)
+                comp = jnp.where(act, 1.0 / p, 1.0)
+                tr = tr * comp
+                tg = tg * comp
+                tb = tb * comp
+
+            hx = ox + dx * best_t
+            hy = oy + dy * best_t
+            hz = oz + dz * best_t
+            nx = (hx - b_cx) * b_ir
+            ny = (hy - b_cy) * b_ir
+            nz = (hz - b_cz) * b_ir
+
+            bx, by, bz = unit_ball()
+            d_dot_n = _dot3(dx, dy, dz, nx, ny, nz)
+            rfx = dx - 2.0 * d_dot_n * nx
+            rfy = dy - 2.0 * d_dot_n * ny
+            rfz = dz - 2.0 * d_dot_n * nz
+            mx, my, mz = _normalize3(rfx + bx * b_rgh, rfy + by * b_rgh,
+                                     rfz + bz * b_rgh)
+            side = _dot3(bx, by, bz, nx, ny, nz) > 0.0
+            sgn = jnp.where(side, 1.0, -1.0)
+            fx, fy, fz = _normalize3(nx + bx * sgn, ny + by * sgn,
+                                     nz + bz * sgn)
+            is_metal = b_met > 0.0
+            ndx = jnp.where(is_metal, mx, fx)
+            ndy = jnp.where(is_metal, my, fy)
+            ndz = jnp.where(is_metal, mz, fz)
+
+            if enable_refraction:
+                cos_in = _dot3(dx, dy, dz, nx, ny, nz)
+                front = cos_in < 0.0
+                sgn_n = jnp.where(front, 1.0, -1.0)
+                nex, ney, nez = nx * sgn_n, ny * sgn_n, nz * sgn_n
+                eta = jnp.where(front, 1.0 / b_ior, b_ior)
+                dt = _dot3(dx, dy, dz, nex, ney, nez)
+                disc_g = 1.0 - eta * eta * (1.0 - dt * dt)
+                can = disc_g > 0.0
+                sq_g = jnp.sqrt(jnp.maximum(disc_g, 0.0))
+                rfrx = (dx - nex * dt) * eta - nex * sq_g
+                rfry = (dy - ney * dt) * eta - ney * sq_g
+                rfrz = (dz - nez * dt) * eta - nez * sq_g
+                cosine = jnp.minimum(-dt, 1.0)
+                r0 = (1.0 - b_ior) / (1.0 + b_ior)
+                r0 = r0 * r0
+                omc = 1.0 - cosine
+                omc2 = omc * omc
+                schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
+                reflect_prob = jnp.where(can, schlick, 1.0)
+                use_refl = U() < reflect_prob
+                rf2x = dx - 2.0 * dt * nex
+                rf2y = dy - 2.0 * dt * ney
+                rf2z = dz - 2.0 * dt * nez
+                gx = jnp.where(use_refl, rf2x, rfrx)
+                gy = jnp.where(use_refl, rf2y, rfry)
+                gz = jnp.where(use_refl, rf2z, rfrz)
+                gx, gy, gz = _normalize3(gx, gy, gz)
+                is_glass = (b_met <= 0.0) & (b_rgh <= 0.0) & (b_ior > 1.0)
+                ndx = jnp.where(is_glass, gx, ndx)
+                ndy = jnp.where(is_glass, gy, ndy)
+                ndz = jnp.where(is_glass, gz, ndz)
+
+            tr = tr * b_ar
+            tg = tg * b_ag
+            tb = tb * b_ab
+            ox = jnp.where(act, hx, ox)
+            oy = jnp.where(act, hy, oy)
+            oz = jnp.where(act, hz, oz)
+            dx = jnp.where(act, ndx, dx)
+            dy = jnp.where(act, ndy, dy)
+            dz = jnp.where(act, ndz, dz)
+
+        # ---- spp accumulation across the (revisited) s grid axis ----
+        @pl.when(s == 0)
+        def _():
+            out_ref[0, 0] = cr
+            out_ref[1, 0] = cg
+            out_ref[2, 0] = cb
+            segs_ref[t] = seg_count
+
+        @pl.when(s > 0)
+        def _():
+            out_ref[0, 0] = out_ref[0, 0] + cr
+            out_ref[1, 0] = out_ref[1, 0] + cg
+            out_ref[2, 0] = out_ref[2, 0] + cb
+            segs_ref[t] = segs_ref[t] + seg_count
+
+        @pl.when(s == n_spp - 1)
+        def _():
+            inv_spp = 1.0 / n_spp
+            if gamma:
+                out_ref[0, 0] = jnp.clip(
+                    jnp.sqrt(jnp.maximum(out_ref[0, 0] * inv_spp, 0.0)), 0.0, 1.0)
+                out_ref[1, 0] = jnp.clip(
+                    jnp.sqrt(jnp.maximum(out_ref[1, 0] * inv_spp, 0.0)), 0.0, 1.0)
+                out_ref[2, 0] = jnp.clip(
+                    jnp.sqrt(jnp.maximum(out_ref[2, 0] * inv_spp, 0.0)), 0.0, 1.0)
+            else:
+                out_ref[0, 0] = out_ref[0, 0] * inv_spp
+                out_ref[1, 0] = out_ref[1, 0] * inv_spp
+                out_ref[2, 0] = out_ref[2, 0] * inv_spp
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "jitter",
+                     "enable_refraction", "gamma", "with_stats", "interpret",
+                     "cluster_size", "n_global", "n_active", "fast_sweep"),
+)
+def render_cluster(
+    scene: SphereScene,
+    cam: CameraP,
+    seed,
+    width: int = 1920,
+    height: int = 1080,
+    spp: int = 4,
+    max_depth: int = 4,
+    jitter: bool = True,
+    enable_refraction: bool = False,
+    gamma: bool = True,
+    with_stats: bool = False,
+    interpret: bool = False,
+    cluster_size: int = DEFAULT_CLUSTER,
+    n_global: int = DEFAULT_GLOBAL,
+    n_active: int | None = None,
+    fast_sweep: bool = False,
+):
+    """Large-scene fused render; returns (height, width, 3) f32 in [0, 1].
+
+    Same contract as render_pallas but scales to thousands of primitives:
+    work per segment is O(global + crossed clusters * C), not O(N).
+    ``n_active`` (quantized active count) bounds the cluster table.
+    ``fast_sweep=True`` skips the far quadratic root in cluster sweeps
+    (~10% faster; exact for non-overlapping opaque scenes with the camera
+    outside every primitive, unlike the reference's always-both-roots
+    test, raytracer_core.h:194-215 — off by default).
+    """
+    clustered = build_clusters(scene, cluster_size=cluster_size,
+                               n_global=n_global, n_active=n_active)
+    clustered = _order_near_to_far(clustered, cam.position)
+    S = clustered.n_supers
+    G = clustered.n_global
+    C = clustered.cluster_size
+
+    blocks_x = -(-width // LANES)
+    blocks_y = -(-height // SUBLANES)
+    n_tiles = blocks_x * blocks_y
+
+    cam_packed = _pack_camera(cam)
+    bg = clustered.background.reshape(1, 3)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    kernel = _make_kernel(width, height, spp, max_depth, G, S, C,
+                          jitter=jitter, enable_refraction=enable_refraction,
+                          gamma=gamma, hash_rng=interpret,
+                          fast_sweep=fast_sweep)
+    out, segs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, spp),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # global attrs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # super boxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # child cluster boxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # background
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cluster attr table
+        ],
+        out_specs=(
+            pl.BlockSpec((3, 1, SUBLANES, LANES), lambda t, s: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n_tiles, SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((10, SUBLANES, LANES), jnp.float32),
+            pltpu.SMEM((2, (C * 16) // LANES, LANES), jnp.float32),
+            pltpu.SMEM((max(S, 1),), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(cam_packed, clustered.glob_attr, clustered.super_boxes,
+      clustered.boxes, bg, seed_arr, clustered.attr)
+
+    # reassemble screen blocks -> image
+    img = out.reshape(3, blocks_y, blocks_x, SUBLANES, LANES)
+    img = jnp.transpose(img, (0, 1, 3, 2, 4))
+    img = img.reshape(3, blocks_y * SUBLANES, blocks_x * LANES)
+    img = jnp.moveaxis(img[:, :height, :width], 0, -1)
+    if with_stats:
+        total = jnp.sum(segs)
+        scale = (width * height) / (n_tiles * TILE)
+        return img, (total.astype(jnp.float32) * scale).astype(jnp.int32)
+    return img

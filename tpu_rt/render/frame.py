@@ -57,14 +57,18 @@ def _pallas_eligible(scene, mode, enable_refraction, gamma, mesh) -> bool:
 def select_engine(scene, mode="v2", enable_refraction=False, gamma=True,
                   mesh=None, engine="auto") -> str:
     """Resolve the engine ``render`` will use for this configuration:
-    "pallas" (fused megakernel) or "lax" (general XLA pipeline)."""
-    if engine not in ("auto", "pallas", "lax"):
+    "pallas" (fused megakernel, <= 64 primitives), "cluster" (large-scene
+    Pallas engine: Morton clusters + compacted box traversal), or "lax"
+    (general XLA pipeline)."""
+    if engine not in ("auto", "pallas", "lax", "cluster"):
         raise ValueError(f"unknown engine {engine!r}")
-    if engine == "pallas" or (
-        engine == "auto"
-        and _pallas_eligible(scene, mode, enable_refraction, gamma, mesh)
-    ):
+    if engine != "auto":
+        return engine
+    if _pallas_eligible(scene, mode, enable_refraction, gamma, mesh):
         return "pallas"
+    if (mode == "v2" and gamma and mesh is None and scene.capacity > 64
+            and _on_tpu(scene)):
+        return "cluster"
     return "lax"
 
 
@@ -72,11 +76,17 @@ def quantize_count(n: int, capacity: int) -> int:
     """Quantize an active-primitive count to the static kernel bucket.
 
     n_active is a STATIC kernel parameter: a new value means a fresh
-    multi-minute Mosaic compile. Quantizing to multiples of 4 means
-    interactive add/remove only recompiles at group boundaries (the padding
-    rows it keeps are cheap).
+    Mosaic compile. Small scenes quantize to multiples of 4 (megakernel
+    unroll groups); large scenes to multiples of 512 (the cluster engine's
+    super-cluster granularity at the default C=64 x FANOUT=8), so
+    interactive add/remove only recompiles at group boundaries.
     """
-    return min(capacity, -4 * (-int(n) // 4)) if n else 1
+    if not n:
+        return 1
+    n = int(n)
+    if n > 64:
+        return min(capacity, -512 * (-n // 512))
+    return min(capacity, -4 * (-n // 4))
 
 
 def render(
@@ -106,8 +116,10 @@ def render(
     ``with_stats=True`` additionally returns traced ray-segment count.
     ``mesh`` optionally adds a TriangleMesh to the scene (nearer surface
     wins per bounce). ``engine``: "auto" picks the fused Pallas megakernel
-    when the configuration allows (v2 / spheres / gamma / TPU), else the
-    XLA lax pipeline; "pallas"/"lax" force one. ``seed``: optional host
+    when the configuration allows (v2 / spheres / gamma / TPU, <= 64
+    primitives), the Pallas cluster engine past the megakernel bucket
+    (large sphere scenes), else the XLA lax pipeline;
+    "pallas"/"cluster"/"lax" force one. ``seed``: optional host
     integer used by the pallas engine instead of deriving one from ``key``
     (saves device round-trips in interactive loops). ``use_bvh`` swaps the
     lax engine's dense sweeps for LBVH traversal of both geometries (the
@@ -116,11 +128,9 @@ def render(
     counts (quantize_count) cached by the caller — passing them avoids a
     device->host pull of scene.valid on every interactive batch.
     """
-    use_pallas = select_engine(scene, mode, enable_refraction, gamma, mesh,
-                               engine) == "pallas"
-    if use_pallas:
-        from ..ops.pallas_megakernel import render_pallas
-
+    resolved = select_engine(scene, mode, enable_refraction, gamma, mesh,
+                             engine)
+    if resolved in ("pallas", "cluster"):
         if seed is None:
             seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
 
@@ -137,6 +147,21 @@ def render(
             n_active = _quantized_count(scene.valid, scene.capacity)
         if mesh is not None and n_tri_active is None:
             n_tri_active = _quantized_count(mesh.valid, mesh.capacity)
+
+    if resolved == "cluster":
+        from ..ops.pallas_cluster import render_cluster
+
+        if mesh is not None:
+            raise ValueError(
+                "engine='cluster' renders sphere scenes (meshes: lax path)")
+        return render_cluster(
+            scene, cam, seed, width=width, height=height, spp=spp,
+            max_depth=max_depth, jitter=jitter,
+            enable_refraction=enable_refraction, gamma=gamma,
+            with_stats=with_stats, n_active=n_active,
+        )
+    if resolved == "pallas":
+        from ..ops.pallas_megakernel import render_pallas
         return render_pallas(
             scene, cam, seed, width=width, height=height, spp=spp,
             max_depth=max_depth, jitter=jitter,
