@@ -75,6 +75,35 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     dispatch_s = float(np.median(lat))
 
+    # cluster engine at 10k primitives (the large-scene headline:
+    # BASELINE.md "Large-scene scaling")
+    from tpu_rt.core.scenes import random_spheres
+    from tpu_rt.ops.pallas_cluster import render_cluster
+
+    big = jax.device_put(random_spheres(10000, seed=1, spread=30.0), dev)
+    bcam = jax.device_put(
+        tpu_rt.make_camera(position=(0, 6, 40), target=(0, 0, -18),
+                           aspect=WIDTH / HEIGHT), dev)
+    bimg, bsegs = render_cluster(big, bcam, 0, width=WIDTH, height=HEIGHT,
+                                 spp=SPP, max_depth=DEPTH, with_stats=True,
+                                 n_active=10000)
+    _ = float(jnp.sum(bimg))
+
+    @jax.jit
+    def chained_big(seed0):
+        def body(i, acc):
+            frame = render_cluster(big, bcam, seed0 + i, width=WIDTH,
+                                   height=HEIGHT, spp=SPP, max_depth=DEPTH,
+                                   n_active=10000)
+            return acc + jnp.sum(frame)
+        return jax.lax.fori_loop(0, 3, body, jnp.float32(0.0))
+
+    _ = float(chained_big(jnp.int32(0)))
+    t0 = time.perf_counter()
+    _ = float(chained_big(jnp.int32(7)))
+    big_frame_s = (time.perf_counter() - t0) / 3
+    big_mrays = int(bsegs) / big_frame_s / 1e6
+
     # lax pipeline reference point
     out2, segs2 = render(scene, cam, jax.random.key(0), width=WIDTH,
                          height=HEIGHT, spp=SPP, max_depth=DEPTH,
@@ -101,6 +130,9 @@ def main() -> None:
             "segments_per_frame": segments,
             "avg_bounces_per_primary": round(segments / primary, 3),
             "lax_engine_frame_ms": round(lax_s * 1e3, 1),
+            "cluster_engine_10k_spheres_traced_mrays": round(big_mrays, 1),
+            "cluster_engine_10k_spheres_frame_ms": round(
+                big_frame_s * 1e3, 1),
             "reference_cpu_primary_mrays_per_s": 2.79,
             "speedup_vs_reference_cpu": round(
                 (primary / frame_s / 1e6) / 2.79, 1),

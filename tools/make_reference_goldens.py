@@ -112,6 +112,29 @@ int main(int argc, char** argv) {
         img[idx + 2] = float(std::min(1.0, std::max(0.0, std::sqrt(std::max(0.0, c.z)))));
       }
     }
+  } else if (mode == "avg") {
+    // mean of n_batches independent render() calls (the thread-local RNG
+    // state advances across calls, so batches are independent draws) —
+    // the variance-reduced golden for RMSE-of-means parity.
+    const int spp = atoi(argv[5]);
+    const int depth = atoi(argv[6]);
+    const int n_batches = atoi(argv[7]);
+    RayTracer tracer;
+    tracer.set_scene(scene);
+    tracer.set_camera(cam);
+    std::vector<double> acc(size_t(w) * h * 3, 0.0);
+    const auto t0 = std::chrono::high_resolution_clock::now();
+    for (int b = 0; b < n_batches; ++b) {
+      std::vector<double> result = tracer.render(w, h, spp, depth);
+      for (size_t k = 0; k < acc.size(); ++k) acc[k] += result[k];
+      if ((b + 1) % 64 == 0) fprintf(stderr, "BATCH %d/%d\n", b + 1, n_batches);
+    }
+    const auto t1 = std::chrono::high_resolution_clock::now();
+    const double secs =
+        std::chrono::duration_cast<std::chrono::microseconds>(t1 - t0).count() * 1e-6;
+    fprintf(stderr, "RENDER_SECONDS %.6f\n", secs);
+    for (size_t k = 0; k < img.size(); ++k)
+      img[k] = float(acc[k] / n_batches);
   } else {  // full render: mode == spp count
     const int spp = atoi(mode.c_str());
     const int depth = atoi(argv[5]);

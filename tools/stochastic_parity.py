@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Quantitative stochastic-parity goldens: RMSE-of-means vs the C++ reference.
+
+BASELINE target: RMSE <= 1e-3 vs the reference render. A single stochastic
+frame can't show that (the MC noise floor of one 512-spp frame is ~0.03 in
+gamma space), so both sides average N independent 512-spp batches: the
+per-pixel means converge at sigma*sqrt(2/N), and any estimator mismatch
+> 1e-3 survives the averaging while the noise does not.
+
+Phase "cpp": compile the reference v1 pipeline and produce the mean of N
+  render() batches (thread-local RNG advances across calls -> independent
+  draws). ~17 min at N=2048 on this 1-core host; one-time, cached in
+  tests/goldens/.
+Phase "tpu": render the same average with tpu-rt's v1-mode estimator
+  (lax engine; each batch gets a fresh fold_in key), on whatever backend
+  jax picks (TPU when available).
+
+Both means + metadata land in tests/goldens/; tests/test_parity.py asserts
+the RMSE target and the 1/sqrt(N) scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDENS = os.path.join(REPO, "tests", "goldens")
+
+W, H, SPP, DEPTH = 64, 48, 512, 4
+
+
+def run_cpp(n_batches: int) -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from make_reference_goldens import BUILD, build
+
+    exe = build()
+    out = f"{BUILD}/avg.bin"
+    import subprocess
+
+    proc = subprocess.run(
+        [exe, "avg", str(W), str(H), out, str(SPP), str(DEPTH),
+         str(n_batches)],
+        check=True, capture_output=True, text=True)
+    secs = None
+    for line in proc.stderr.splitlines():
+        if line.startswith("RENDER_SECONDS"):
+            secs = float(line.split()[1])
+    img = np.fromfile(out, np.float32).reshape(H, W, 3)
+    np.save(f"{GOLDENS}/ref_mean_{W}x{H}_{SPP}spp_d{DEPTH}_N{n_batches}.npy",
+            img)
+    meta_path = f"{GOLDENS}/parity_meta.json"
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+    meta["cpp"] = {"w": W, "h": H, "spp": SPP, "depth": DEPTH,
+                   "n_batches": n_batches, "seconds": secs}
+    json.dump(meta, open(meta_path, "w"), indent=2)
+    print(f"cpp mean N={n_batches}: {secs:.1f}s -> mean {img.mean():.5f}")
+
+
+def run_tpu(n_batches: int) -> None:
+    import jax
+
+    import tpu_rt
+
+    scene = tpu_rt.demo_scene()
+    cam = tpu_rt.make_camera(aspect=W / H)
+    acc = np.zeros((H, W, 3), np.float64)
+    for b in range(n_batches):
+        img = tpu_rt.render(scene, cam, jax.random.key(1000 + b), width=W,
+                            height=H, spp=SPP, max_depth=DEPTH, mode="v1",
+                            engine="lax")
+        acc += np.asarray(img, np.float64)
+        if (b + 1) % 64 == 0:
+            print(f"batch {b + 1}/{n_batches}")
+    mean = (acc / n_batches).astype(np.float32)
+    np.save(f"{GOLDENS}/tpurt_mean_{W}x{H}_{SPP}spp_d{DEPTH}_N{n_batches}.npy",
+            mean)
+    meta_path = f"{GOLDENS}/parity_meta.json"
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+    meta["tpurt"] = {"w": W, "h": H, "spp": SPP, "depth": DEPTH,
+                     "n_batches": n_batches,
+                     "device": str(jax.devices()[0])}
+    json.dump(meta, open(meta_path, "w"), indent=2)
+    print(f"tpu-rt mean N={n_batches}: mean {mean.mean():.5f}")
+
+    ref_files = [f for f in os.listdir(GOLDENS)
+                 if f.startswith(f"ref_mean_{W}x{H}_{SPP}spp_d{DEPTH}_N")]
+    for f in sorted(ref_files):
+        ref = np.load(os.path.join(GOLDENS, f))
+        rmse = float(np.sqrt(((mean - ref) ** 2).mean()))
+        print(f"RMSE vs {f}: {rmse:.2e}")
+
+
+if __name__ == "__main__":
+    phase = sys.argv[1] if len(sys.argv) > 1 else "cpp"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    if phase == "cpp":
+        run_cpp(n)
+    elif phase == "tpu":
+        run_tpu(n)
+    else:
+        raise SystemExit(f"unknown phase {phase}")
