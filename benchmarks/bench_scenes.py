@@ -94,6 +94,34 @@ def main():
             rows.append((f"random {n} spheres / pallas (same cam)", dt,
                          prim / dt / 1e6))
 
+    # large triangle meshes: terrain heightfields through the cluster
+    # engine's triangle phase (n=24 -> 1058 tris, n=72 -> 10082,
+    # n=226 -> 101250)
+    from tpu_rt.core.scenes import terrain_mesh
+
+    tcam = jax.device_put(
+        tpu_rt.make_camera(position=(0, 6, 6), target=(0, 0, -10),
+                           aspect=W / H), dev)
+    for grid_n in (24, 72, 226):
+        sph, tmesh = terrain_mesh(n=grid_n, seed=1)
+        ntri = int(np.asarray(tmesh.valid).sum())
+        sph = jax.device_put(sph, dev)
+        tmesh = jax.device_put(tmesh, dev)
+        nq = -512 * (-ntri // 512)
+        dt = steady_state(
+            lambda s, sph=sph, tmesh=tmesh, nq=nq: render_cluster(
+                sph, tcam, s, width=W, height=H, spp=SPP, max_depth=D,
+                n_active=4, mesh=tmesh,
+                n_tri_active=min(nq, tmesh.capacity)),
+            reps=2, chain=3)
+        _, segs = render_cluster(sph, tcam, 0, width=W, height=H, spp=SPP,
+                                 max_depth=D, n_active=4, mesh=tmesh,
+                                 n_tri_active=min(nq, tmesh.capacity),
+                                 with_stats=True)
+        rows.append((f"terrain {ntri} tris / cluster", dt, prim / dt / 1e6))
+        rows.append((f"terrain {ntri} tris / cluster (traced)", dt,
+                     int(segs) / dt / 1e6))
+
     spheres, mesh = cornell_box()
     spheres = jax.device_put(spheres, dev)
     mesh = jax.device_put(mesh, dev)

@@ -158,3 +158,135 @@ def test_render_engine_cluster_end_to_end(scene200):
         img = np.asarray(img)
     assert img.shape == (96, 160, 3)
     assert np.isfinite(img).all()
+
+
+# ---------------------------------------------------------------------------
+# triangle clusters
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def terrain():
+    from tpu_rt.core.scenes import terrain_mesh
+
+    return terrain_mesh(n=24, seed=1)  # 1058 triangles
+
+
+TCAM = tpu_rt.make_camera(position=(0, 6, 6), target=(0, 0, -10),
+                          aspect=160 / 96)
+
+
+def test_build_tri_clusters_structure(terrain):
+    from tpu_rt.ops.pallas_cluster import build_tri_clusters
+
+    _, mesh = terrain
+    n = int(np.asarray(mesh.valid).sum())
+    cl = build_tri_clusters(mesh, cluster_size=64, n_global=2,
+                            n_active=mesh.capacity)
+    assert cl.n_clusters == cl.n_supers * FANOUT
+    K, C = cl.n_clusters, cl.cluster_size
+    blocks = np.asarray(cl.attr).reshape(K, 16, C)
+    boxes = np.asarray(cl.boxes)
+    live_total = 0
+    for k in range(K):
+        e1 = blocks[k, 3:6].T
+        e2 = blocks[k, 6:9].T
+        v0 = blocks[k, 0:3].T
+        live = (np.abs(e1).sum(-1) + np.abs(e2).sum(-1)) > 0
+        live_total += int(live.sum())
+        if not live.any():
+            assert boxes[k, 0] > boxes[k, 3]
+            continue
+        pts = np.concatenate(
+            [v0[live], (v0 + e1)[live], (v0 + e2)[live]], axis=0)
+        assert (pts >= boxes[k, 0:3] - 1e-4).all()
+        assert (pts <= boxes[k, 3:6] + 1e-4).all()
+    # every valid non-global triangle landed in exactly one cluster
+    assert live_total == n - 2
+
+
+def test_tri_depth1_matches_lax(terrain):
+    """Deterministic depth-1 render: emission + background only, so any
+    mismatch is a hit/miss or nearest-winner disagreement. The two MT
+    formulations (bilinear matmul vs pvec/qvec) round differently, so
+    boundary pixels may flip — require near-total agreement rather than
+    bit equality."""
+    spheres, mesh = terrain
+    a = np.asarray(render_cluster(spheres, mesh_cam := TCAM, 0, width=160,
+                                  height=96, spp=1, max_depth=1,
+                                  jitter=False, interpret=True,
+                                  mesh=mesh))
+    b = np.asarray(render(spheres, mesh_cam, jax.random.key(0), width=160,
+                          height=96, spp=1, max_depth=1, jitter=False,
+                          engine="lax", mesh=mesh))
+    agree = (np.abs(a - b) < 1e-5).all(axis=-1).mean()
+    assert agree > 0.999, agree
+
+
+def test_tri_statistical_agreement_with_lax(terrain):
+    spheres, mesh = terrain
+    a = np.asarray(render_cluster(spheres, TCAM, 7, width=128, height=64,
+                                  spp=12, max_depth=4, interpret=True,
+                                  mesh=mesh))
+    b = np.asarray(render(spheres, TCAM, jax.random.key(5), width=128,
+                          height=64, spp=12, max_depth=4, engine="lax",
+                          mesh=mesh))
+    b2 = np.asarray(render(spheres, TCAM, jax.random.key(9), width=128,
+                           height=64, spp=12, max_depth=4, engine="lax",
+                           mesh=mesh))
+    rmse = float(np.sqrt(((a - b) ** 2).mean()))
+    floor = float(np.sqrt(((b - b2) ** 2).mean()))
+    assert rmse < floor * 1.25, (rmse, floor)
+    assert abs(float(a.mean() - b.mean())) < 5e-3
+
+
+def test_tri_global_sweep_catches_big_ground_quad():
+    """A scene-spanning ground quad must land in the tri global set and
+    still be hit correctly (its cluster box would cover everything)."""
+    from tpu_rt.ops.triangle import quad
+    from tpu_rt.core.types import make_scene
+
+    mesh = quad((-50, 0, 40), (50, 0, 40), (50, 0, -100), (-50, 0, -100),
+                albedo=(0.6, 0.6, 0.6))
+    spheres = make_scene(
+        centers=[(0.0, 1.0, -6.0)], radii=[1.0],
+        albedos=[(0.9, 0.2, 0.2)], metallics=[0.0], roughnesses=[0.5],
+        emissions=[(0, 0, 0)], background=(0.5, 0.6, 0.9))
+    cam = tpu_rt.make_camera(position=(0, 2, 4), target=(0, 0.5, -6),
+                             aspect=4 / 3)
+    a = np.asarray(render_cluster(spheres, cam, 3, width=96, height=72,
+                                  spp=8, max_depth=3, interpret=True,
+                                  mesh=mesh))
+    b = np.asarray(render(spheres, cam, jax.random.key(3), width=96,
+                          height=72, spp=8, max_depth=3, engine="lax",
+                          mesh=mesh))
+    assert np.isfinite(a).all()
+    # ground visible in the lower half on both engines, same brightness
+    assert a[50:].mean() > 0.3
+    assert abs(float(a[50:].mean() - b[50:].mean())) < 0.03
+
+
+def test_cornell_via_cluster(terrain):
+    """Cornell box (14 tris + 2 spheres): mesh+sphere mixed scene through
+    the cluster engine agrees with lax in distribution."""
+    from tpu_rt.core.scenes import cornell_box
+
+    spheres, mesh = cornell_box()
+    cam = tpu_rt.make_camera(position=(0, 2, 2.5), target=(0, 2, -3),
+                             aspect=4 / 3)
+    a = np.asarray(render_cluster(spheres, cam, 2, width=96, height=72,
+                                  spp=16, max_depth=4, interpret=True,
+                                  mesh=mesh))
+    b = np.asarray(render(spheres, cam, jax.random.key(2), width=96,
+                          height=72, spp=16, max_depth=4, engine="lax",
+                          mesh=mesh))
+    assert np.isfinite(a).all()
+    assert abs(float(a.mean() - b.mean())) < 0.015
+    # red left wall / green right wall
+    assert a[30:50, :12, 0].mean() > a[30:50, :12, 1].mean()
+    assert a[30:50, -12:, 1].mean() > a[30:50, -12:, 0].mean()
+
+
+def test_select_engine_routes_large_mesh_to_cluster(terrain):
+    spheres, mesh = terrain
+    # capacity 2048 > 256: auto routes to cluster on TPU; force-check here
+    assert select_engine(spheres, mesh=mesh, engine="cluster") == "cluster"

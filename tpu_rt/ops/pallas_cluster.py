@@ -45,6 +45,13 @@ Estimator: v2 reference semantics, identical to the megakernel
 1080p @ 4 spp depth 4, random-spheres field): 235 Mrays/s at N=1k,
 101 Mrays/s at N=10k (112 with fast_sweep), 29 Mrays/s at N=100k —
 vs 3 Mrays/s for the dense megakernel sweep extrapolated to 10k.
+
+Triangle meshes cluster the same way (build_tri_clusters): their own
+two-level box hierarchy traversed after the sphere phase, a Moller-Trumbore
+sweep at static SMEM offsets, and the largest-AREA triangles (ground quads)
+in the dense global sweep. The winning triangle's ray-opposing normal is
+encoded into the sphere best-hit planes (c = hit - n, ir = +/-1) so the
+shared shading path needs no extra state.
 """
 
 from __future__ import annotations
@@ -229,6 +236,109 @@ def build_clusters(
                           background=scene.background)
 
 
+def _tri_attr_rows(mesh) -> jnp.ndarray:
+    """Packed (T, 16) triangle rows for the cluster sweep.
+
+    Cols 0-8: v0, e1, e2 in full f32 (geometry precision matters for the
+    Moller-Trumbore determinant); 9-15 bf16 pairs: (nx,ny), (nz,-),
+    (ar,ag), (ab,met), (rgh,ior), (er,eg), (eb,-). Invalid rows get
+    e1 = e2 = 0, which forces det == 0 in the sweep — triangles need no
+    explicit validity column.
+    """
+    okf = mesh.valid[:, None]
+    e1 = jnp.where(okf, mesh.e1, 0.0)
+    e2 = jnp.where(okf, mesh.e2, 0.0)
+    z = jnp.zeros_like(mesh.ior)
+
+    def pair(a, b):
+        return _pack_bf16_pair(a, b)[:, None]
+
+    return jnp.concatenate([
+        mesh.v0, e1, e2,
+        pair(mesh.normal[:, 0], mesh.normal[:, 1]),
+        pair(mesh.normal[:, 2], z),
+        pair(mesh.albedo[:, 0], mesh.albedo[:, 1]),
+        pair(mesh.albedo[:, 2], mesh.metallic),
+        pair(mesh.roughness, mesh.ior),
+        pair(mesh.emission[:, 0], mesh.emission[:, 1]),
+        pair(mesh.emission[:, 2], z),
+    ], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cluster_size", "n_global", "n_active"))
+def build_tri_clusters(
+    mesh,
+    cluster_size: int = DEFAULT_CLUSTER,
+    n_global: int = 2,
+    n_active: int | None = None,
+) -> ClusteredScene:
+    """Morton-cluster a TriangleMesh for the cluster kernel (the triangle
+    analogue of build_clusters; same two-level box hierarchy and field-major
+    DMA blocks). The ``n_global`` largest-AREA triangles (ground quads etc.,
+    whose boxes would span the scene and defeat culling) go to the dense
+    per-ray global sweep."""
+    n = mesh.capacity if n_active is None else n_active
+    mesh = jax.tree.map(lambda a: a[:n] if a.ndim >= 1 and
+                        a.shape[0] == mesh.capacity else a, mesh)
+    C = cluster_size
+    if (C * 16) % LANES != 0:
+        raise ValueError("cluster_size must be a multiple of 8")
+    G = min(n_global, n)
+
+    valid = mesh.valid
+    rows_full = _tri_attr_rows(mesh)  # (n, 16)
+    v1 = mesh.v0 + mesh.e1
+    v2 = mesh.v0 + mesh.e2
+    tri_min = jnp.minimum(mesh.v0, jnp.minimum(v1, v2))
+    tri_max = jnp.maximum(mesh.v0, jnp.maximum(v1, v2))
+
+    area = jnp.linalg.norm(jnp.cross(mesh.e1, mesh.e2), axis=-1)
+    area_key = jnp.where(valid, area, -1.0)
+    glob_idx = jnp.argsort(-area_key)[:G]
+    glob_attr = rows_full[glob_idx]
+    # invalid rows in the global set must never hit: zero their edges
+    glob_ok = valid[glob_idx][:, None]
+    glob_attr = glob_attr.at[:, 3:9].set(
+        jnp.where(glob_ok, glob_attr[:, 3:9], 0.0))
+
+    is_global = jnp.zeros((n,), bool).at[glob_idx].set(True)
+    rest = valid & ~is_global
+    centroid = (tri_min + tri_max) * 0.5
+    code = morton_codes(centroid, rest)
+    order = jnp.argsort(code)
+
+    m = n
+    K = max(1, -(-m // C))
+    K = -(-K // FANOUT) * FANOUT
+    pad = K * C - m
+    order_p = jnp.pad(order, (0, pad))
+    rest_p = jnp.pad(rest[order], (0, pad))
+
+    attr = rows_full[order_p]
+    attr = attr.at[:, 3:9].set(
+        jnp.where(rest_p[:, None], attr[:, 3:9], 0.0))
+
+    lo_rows = tri_min[order_p]
+    hi_rows = tri_max[order_p]
+    ok = rest_p.reshape(K, C, 1)
+    lo = jnp.min(jnp.where(ok, lo_rows.reshape(K, C, 3), BIG), axis=1)
+    hi = jnp.max(jnp.where(ok, hi_rows.reshape(K, C, 3), -BIG), axis=1)
+    boxes = jnp.concatenate(
+        [lo, hi, jnp.zeros((K, 2), jnp.float32)], axis=-1)
+    S = K // FANOUT
+    s_lo = jnp.min(lo.reshape(S, FANOUT, 3), axis=1)
+    s_hi = jnp.max(hi.reshape(S, FANOUT, 3), axis=1)
+    super_boxes = jnp.concatenate(
+        [s_lo, s_hi, jnp.zeros((S, 2), jnp.float32)], axis=-1)
+
+    attr_blocks = attr.reshape(K, C, 16)
+    attr_blocks = jnp.transpose(attr_blocks, (0, 2, 1))
+    attr_blocks = attr_blocks.reshape(K, (C * 16) // LANES, LANES)
+    return ClusteredScene(glob_attr=glob_attr, boxes=boxes,
+                          super_boxes=super_boxes, attr=attr_blocks,
+                          background=jnp.zeros((3,), jnp.float32))
+
+
 def _order_near_to_far(cl: ClusteredScene, cam_pos) -> ClusteredScene:
     """Permute supers (and children within each super) by distance from the
     camera. The traversal visits the compacted crossed list in storage
@@ -263,14 +373,18 @@ def _order_near_to_far(cl: ClusteredScene, cam_pos) -> ClusteredScene:
 
 def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                  cluster_size, jitter=True, enable_refraction=False,
-                 gamma=True, rr_start=3, hash_rng=False, fast_sweep=False):
+                 gamma=True, rr_start=3, hash_rng=False, fast_sweep=False,
+                 n_tri_global=0, n_tri_supers=0):
     C = cluster_size
     G = n_global
     S = n_supers
+    GT = n_tri_global
+    ST = n_tri_supers
     blocks_x = -(-width // LANES)
 
     def kernel(cam_ref, glob_ref, sboxes_ref, boxes_ref, bg_ref, seed_ref,
-               attr_ref, out_ref, segs_ref, best_ref, attr_scratch,
+               attr_ref, tglob_ref, tsboxes_ref, tboxes_ref, tattr_ref,
+               out_ref, segs_ref, best_ref, attr_scratch,
                slist_ref, count_ref, dma_sem):
         t = pl.program_id(0)
         s = pl.program_id(1)
@@ -387,8 +501,74 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
             return (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
                     b_p4)
 
+        def tri_sweep(read, count, best, fast=False):
+            """Unrolled Moller-Trumbore sweep over packed triangle rows
+            (_tri_attr_rows layout). The winner's ray-opposing face normal
+            is ENCODED into the sphere best-hit planes: store c = hit - n
+            and ir = sign, so the shading path's (h - c) * ir reproduces
+            the flipped normal with zero extra state planes. ``fast`` is
+            accepted for signature parity (no far root to skip)."""
+            del fast
+            (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
+             b_p4) = best
+            for j in range(count):
+                v0x, v0y, v0z = read(j, 0), read(j, 1), read(j, 2)
+                e1x, e1y, e1z = read(j, 3), read(j, 4), read(j, 5)
+                e2x, e2y, e2z = read(j, 6), read(j, 7), read(j, 8)
+                pvx = dy_b * e2z - dz_b * e2y
+                pvy = dz_b * e2x - dx_b * e2z
+                pvz = dx_b * e2y - dy_b * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                okd = jnp.abs(det) > 1e-9
+                inv = 1.0 / jnp.where(okd, det, 1.0)
+                tvx = ox_b - v0x
+                tvy = oy_b - v0y
+                tvz = oz_b - v0z
+                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                vv = (dx_b * qvx + dy_b * qvy + dz_b * qvz) * inv
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                better = (okd & (uu >= 0.0) & (vv >= 0.0)
+                          & (uu + vv <= 1.0) & (tt >= 1e-3)
+                          & (tt < best_t))
+                # bf16-packed face normal; flip sign to oppose the ray.
+                # (pltpu.bitcast has no scalar lowering: broadcast the
+                # packed word to a plane, then do plane-level bit ops)
+                nbits = pltpu.bitcast(
+                    jnp.full(shape, read(j, 9)), jnp.int32)
+                nx = pltpu.bitcast(
+                    jax.lax.shift_left(nbits, 16), jnp.float32)
+                ny = pltpu.bitcast(nbits & jnp.int32(-65536), jnp.float32)
+                nz = pltpu.bitcast(
+                    jax.lax.shift_left(
+                        pltpu.bitcast(jnp.full(shape, read(j, 10)),
+                                      jnp.int32), 16),
+                    jnp.float32)
+                sgn_t = jnp.where(
+                    dx_b * nx + dy_b * ny + dz_b * nz < 0.0, 1.0, -1.0)
+                hx_t = ox_b + dx_b * tt
+                hy_t = oy_b + dy_b * tt
+                hz_t = oz_b + dz_b * tt
+                best_t = jnp.where(better, tt, best_t)
+                b_cx = jnp.where(better, hx_t - nx, b_cx)
+                b_cy = jnp.where(better, hy_t - ny, b_cy)
+                b_cz = jnp.where(better, hz_t - nz, b_cz)
+                b_ir = jnp.where(better, sgn_t, b_ir)
+                b_p0 = jnp.where(better, read(j, 11), b_p0)
+                b_p1 = jnp.where(better, read(j, 12), b_p1)
+                b_p2 = jnp.where(better, read(j, 13), b_p2)
+                b_p3 = jnp.where(better, read(j, 14), b_p3)
+                b_p4 = jnp.where(better, read(j, 15), b_p4)
+            return (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
+                    b_p4)
+
         def _read_glob(j, field):
             return glob_ref[j, field]
+
+        def _read_tglob(j, field):
+            return tglob_ref[j, field]
 
         def _make_read_cluster(buf):
             def _read_cluster(j, field):
@@ -403,6 +583,11 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
         def _dma(i, buf):
             return pltpu.make_async_copy(
                 attr_ref.at[_visit_kk(i)], attr_scratch.at[buf],
+                dma_sem.at[buf])
+
+        def _dma_tri(i, buf):
+            return pltpu.make_async_copy(
+                tattr_ref.at[_visit_kk(i)], attr_scratch.at[buf],
                 dma_sem.at[buf])
 
         # ---- bounce loop (unrolled; one fori level stays free for the
@@ -420,6 +605,8 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
             best = (jnp.full(shape, T_MAX),) + (zero,) * 9
             if G:
                 best = sweep(_read_glob, G, best)
+            if GT:
+                best = tri_sweep(_read_tglob, GT, best)
             # park the running best in scratch so pl.when bodies can update
             for i, plane in enumerate(best):
                 best_ref[i] = plane
@@ -465,48 +652,75 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
             # handful — with the (single-copy) sweep behind a per-cluster
             # child-box test. Register pressure stays low because the sweep
             # body exists exactly once.
-            def super_scan(ss, _):
-                @pl.when(jnp.any(slab(sboxes_ref, ss)))
-                def _():
-                    idx = count_ref[0]
-                    slist_ref[idx] = ss
-                    count_ref[0] = idx + 1
+            def _make_super_scan(sb_ref):
+                def super_scan(ss, _):
+                    @pl.when(jnp.any(slab(sb_ref, ss)))
+                    def _():
+                        idx = count_ref[0]
+                        slist_ref[idx] = ss
+                        count_ref[0] = idx + 1
 
-                return 0
+                    return 0
 
-            def cluster_visit(i, visits):
-                buf = jax.lax.rem(i, 2)
-                kk = _visit_kk(i)
-                # consume this buffer's in-flight prefetch, then immediately
-                # prefetch visit i+1 into the other buffer: the next DMA
-                # overlaps this visit's test + sweep
-                _dma(i, buf).wait()
+                return super_scan
 
-                @pl.when(i + 1 < visits)
-                def _():
-                    _dma(i + 1, 1 - buf).start()
+            def _make_cluster_visit(cb_ref, dma, sweep_fn):
+                def cluster_visit(i, visits):
+                    buf = jax.lax.rem(i, 2)
+                    kk = _visit_kk(i)
+                    # consume this buffer's in-flight prefetch, then
+                    # immediately prefetch visit i+1 into the other buffer:
+                    # the next DMA overlaps this visit's test + sweep
+                    dma(i, buf).wait()
 
-                @pl.when(jnp.any(slab(boxes_ref, kk)))
-                def _():
-                    best_s = tuple(best_ref[i2] for i2 in range(10))
-                    best_s = sweep(_make_read_cluster(buf), C, best_s,
-                                   fast=fast_sweep)
-                    for i2, plane in enumerate(best_s):
-                        best_ref[i2] = plane
+                    @pl.when(i + 1 < visits)
+                    def _():
+                        dma(i + 1, 1 - buf).start()
 
-                return visits
+                    @pl.when(jnp.any(slab(cb_ref, kk)))
+                    def _():
+                        best_s = tuple(best_ref[i2] for i2 in range(10))
+                        best_s = sweep_fn(_make_read_cluster(buf), C, best_s,
+                                          fast=fast_sweep)
+                        for i2, plane in enumerate(best_s):
+                            best_ref[i2] = plane
+
+                    return visits
+
+                return cluster_visit
 
             @pl.when(jnp.any(act))
             def _():
-                count_ref[0] = 0
-                jax.lax.fori_loop(0, S, super_scan, 0)
-                visits = count_ref[0] * FANOUT
+                # sphere clusters, then triangle clusters: phases share the
+                # SMEM visit list, DMA scratch and the running best planes
+                # (the sphere phase's best_t prunes triangle boxes too)
+                if S:
+                    count_ref[0] = 0
+                    jax.lax.fori_loop(
+                        0, S, _make_super_scan(sboxes_ref), 0)
+                    visits = count_ref[0] * FANOUT
 
-                @pl.when(visits > 0)
-                def _():
-                    _dma(0, 0).start()
+                    @pl.when(visits > 0)
+                    def _():
+                        _dma(0, 0).start()
 
-                jax.lax.fori_loop(0, visits, cluster_visit, visits)
+                    jax.lax.fori_loop(
+                        0, visits,
+                        _make_cluster_visit(boxes_ref, _dma, sweep), visits)
+                if ST:
+                    count_ref[0] = 0
+                    jax.lax.fori_loop(
+                        0, ST, _make_super_scan(tsboxes_ref), 0)
+                    tvisits = count_ref[0] * FANOUT
+
+                    @pl.when(tvisits > 0)
+                    def _():
+                        _dma_tri(0, 0).start()
+
+                    jax.lax.fori_loop(
+                        0, tvisits,
+                        _make_cluster_visit(tboxes_ref, _dma_tri, tri_sweep),
+                        tvisits)
 
             (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
              b_p4) = tuple(best_ref[i] for i in range(10))
@@ -648,7 +862,8 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "jitter",
                      "enable_refraction", "gamma", "with_stats", "interpret",
-                     "cluster_size", "n_global", "n_active", "fast_sweep"),
+                     "cluster_size", "n_global", "n_active", "fast_sweep",
+                     "n_tri_global", "n_tri_active"),
 )
 def render_cluster(
     scene: SphereScene,
@@ -667,16 +882,23 @@ def render_cluster(
     n_global: int = DEFAULT_GLOBAL,
     n_active: int | None = None,
     fast_sweep: bool = False,
+    mesh=None,
+    n_tri_global: int = 2,
+    n_tri_active: int | None = None,
 ):
     """Large-scene fused render; returns (height, width, 3) f32 in [0, 1].
 
     Same contract as render_pallas but scales to thousands of primitives:
     work per segment is O(global + crossed clusters * C), not O(N).
     ``n_active`` (quantized active count) bounds the cluster table.
-    ``fast_sweep=True`` skips the far quadratic root in cluster sweeps
-    (~10% faster; exact for non-overlapping opaque scenes with the camera
-    outside every primitive, unlike the reference's always-both-roots
-    test, raytracer_core.h:194-215 — off by default).
+    ``fast_sweep=True`` skips the far quadratic root in SPHERE cluster
+    sweeps (~10% faster; exact for non-overlapping opaque scenes with the
+    camera outside every primitive, unlike the reference's
+    always-both-roots test, raytracer_core.h:194-215 — off by default).
+    ``mesh`` adds a TriangleMesh, clustered into its own two-level box
+    hierarchy and swept with Moller-Trumbore after the sphere phase — the
+    large-mesh fast path the reference's templated BVHTraversal::intersect
+    (cpp_raytracer/bvh.cpp:133-195) was aiming at.
     """
     clustered = build_clusters(scene, cluster_size=cluster_size,
                                n_global=n_global, n_active=n_active)
@@ -684,6 +906,22 @@ def render_cluster(
     S = clustered.n_supers
     G = clustered.n_global
     C = clustered.cluster_size
+
+    if mesh is not None:
+        tri = build_tri_clusters(mesh, cluster_size=cluster_size,
+                                 n_global=n_tri_global,
+                                 n_active=n_tri_active)
+        tri = _order_near_to_far(tri, cam.position)
+        ST = tri.n_supers
+        GT = tri.n_global
+        tglob, tsboxes, tboxes, tattr = (tri.glob_attr, tri.super_boxes,
+                                         tri.boxes, tri.attr)
+    else:
+        ST = GT = 0
+        tglob = jnp.zeros((1, 16), jnp.float32)
+        tsboxes = jnp.zeros((1, 8), jnp.float32)
+        tboxes = jnp.zeros((1, 8), jnp.float32)
+        tattr = jnp.zeros((1, (C * 16) // LANES, LANES), jnp.float32)
 
     blocks_x = -(-width // LANES)
     blocks_y = -(-height // SUBLANES)
@@ -696,7 +934,8 @@ def render_cluster(
     kernel = _make_kernel(width, height, spp, max_depth, G, S, C,
                           jitter=jitter, enable_refraction=enable_refraction,
                           gamma=gamma, hash_rng=interpret,
-                          fast_sweep=fast_sweep)
+                          fast_sweep=fast_sweep,
+                          n_tri_global=GT, n_tri_supers=ST)
     out, segs = pl.pallas_call(
         kernel,
         grid=(n_tiles, spp),
@@ -708,6 +947,10 @@ def render_cluster(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # background
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cluster attr table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri global attrs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri super boxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri cluster boxes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri attr table
         ],
         out_specs=(
             pl.BlockSpec((3, 1, SUBLANES, LANES), lambda t, s: (0, t, 0, 0),
@@ -721,13 +964,14 @@ def render_cluster(
         scratch_shapes=[
             pltpu.VMEM((10, SUBLANES, LANES), jnp.float32),
             pltpu.SMEM((2, (C * 16) // LANES, LANES), jnp.float32),
-            pltpu.SMEM((max(S, 1),), jnp.int32),
+            pltpu.SMEM((max(S, ST, 1),), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(cam_packed, clustered.glob_attr, clustered.super_boxes,
-      clustered.boxes, bg, seed_arr, clustered.attr)
+      clustered.boxes, bg, seed_arr, clustered.attr,
+      tglob, tsboxes, tboxes, tattr)
 
     # reassemble screen blocks -> image
     img = out.reshape(3, blocks_y, blocks_x, SUBLANES, LANES)

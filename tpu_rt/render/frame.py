@@ -57,17 +57,18 @@ def _pallas_eligible(scene, mode, enable_refraction, gamma, mesh) -> bool:
 def select_engine(scene, mode="v2", enable_refraction=False, gamma=True,
                   mesh=None, engine="auto") -> str:
     """Resolve the engine ``render`` will use for this configuration:
-    "pallas" (fused megakernel, <= 64 primitives), "cluster" (large-scene
-    Pallas engine: Morton clusters + compacted box traversal), or "lax"
-    (general XLA pipeline)."""
+    "pallas" (fused megakernel, <= 64 spheres / 256 triangles), "cluster"
+    (large-scene Pallas engine: Morton clusters + compacted box traversal,
+    spheres and/or triangle meshes), or "lax" (general XLA pipeline)."""
     if engine not in ("auto", "pallas", "lax", "cluster"):
         raise ValueError(f"unknown engine {engine!r}")
     if engine != "auto":
         return engine
     if _pallas_eligible(scene, mode, enable_refraction, gamma, mesh):
         return "pallas"
-    if (mode == "v2" and gamma and mesh is None and scene.capacity > 64
-            and _on_tpu(scene)):
+    if (mode == "v2" and gamma and _on_tpu(scene)
+            and (scene.capacity > 64
+                 or (mesh is not None and mesh.capacity > 256))):
         return "cluster"
     return "lax"
 
@@ -118,7 +119,7 @@ def render(
     wins per bounce). ``engine``: "auto" picks the fused Pallas megakernel
     when the configuration allows (v2 / spheres / gamma / TPU, <= 64
     primitives), the Pallas cluster engine past the megakernel bucket
-    (large sphere scenes), else the XLA lax pipeline;
+    (large sphere scenes and triangle meshes), else the XLA lax pipeline;
     "pallas"/"cluster"/"lax" force one. ``seed``: optional host
     integer used by the pallas engine instead of deriving one from ``key``
     (saves device round-trips in interactive loops). ``use_bvh`` swaps the
@@ -151,14 +152,12 @@ def render(
     if resolved == "cluster":
         from ..ops.pallas_cluster import render_cluster
 
-        if mesh is not None:
-            raise ValueError(
-                "engine='cluster' renders sphere scenes (meshes: lax path)")
         return render_cluster(
             scene, cam, seed, width=width, height=height, spp=spp,
             max_depth=max_depth, jitter=jitter,
             enable_refraction=enable_refraction, gamma=gamma,
             with_stats=with_stats, n_active=n_active,
+            mesh=mesh, n_tri_active=n_tri_active,
         )
     if resolved == "pallas":
         from ..ops.pallas_megakernel import render_pallas
