@@ -290,3 +290,17 @@ def test_select_engine_routes_large_mesh_to_cluster(terrain):
     spheres, mesh = terrain
     # capacity 2048 > 256: auto routes to cluster on TPU; force-check here
     assert select_engine(spheres, mesh=mesh, engine="cluster") == "cluster"
+
+
+def test_cluster_band_offsets_bit_identical(scene200):
+    """Sharded row bands: RNG streams key off the GLOBAL tile id, so band
+    renders are bit-identical slices of the full frame even with jitter."""
+    kw = dict(width=64, height=64, spp=2, max_depth=2, interpret=True,
+              n_active=200)
+    full = np.asarray(render_cluster(scene200, CAM, 5, **kw))
+    top = np.asarray(render_cluster(scene200, CAM, 5, rows=32, row_offset=0,
+                                    **kw))
+    bot = np.asarray(render_cluster(scene200, CAM, 5, rows=32, row_offset=32,
+                                    **kw))
+    np.testing.assert_array_equal(top, full[:32])
+    np.testing.assert_array_equal(bot, full[32:])

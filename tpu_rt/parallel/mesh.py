@@ -64,7 +64,7 @@ def make_mesh(
     jax.jit,
     static_argnames=("mesh", "width", "height", "spp", "max_depth", "mode",
                      "enable_refraction", "gamma", "engine", "n_active",
-                     "interpret"),
+                     "interpret", "n_tri_active"),
 )
 def render_sharded(
     scene: SphereScene,
@@ -81,6 +81,8 @@ def render_sharded(
     engine: str = "lax",
     n_active: int | None = None,
     interpret: bool = False,
+    scene_mesh=None,
+    n_tri_active: int | None = None,
 ):
     """Render one frame over the mesh; returns (height, width, 3) f32.
 
@@ -88,6 +90,11 @@ def render_sharded(
     and camera are replicated (KBs — SURVEY.md §2.3), rows are sharded over
     'tile', spp over 'sample'; the result is psum-meaned over 'sample' and
     left sharded over 'tile'.
+
+    ``engine`` selects the per-shard renderer: "lax" (general), "pallas"
+    (fused megakernel, small scenes), or "cluster" (large scenes; also takes
+    ``scene_mesh`` — a replicated TriangleMesh — and needs the per-device
+    row band to be a multiple of 32).
     """
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
@@ -98,7 +105,9 @@ def render_sharded(
     rows_per = height // n_tile
     spp_per = spp // n_sample
 
-    def shard_fn(scene_rep: SphereScene, cam_rep: CameraP, key_rep: jax.Array):
+    def shard_fn(scene_rep: SphereScene, cam_rep: CameraP, key_rep: jax.Array,
+                 *rest):
+        mesh_rep = rest[0] if rest else None
         ti = jax.lax.axis_index("tile")
         si = jax.lax.axis_index("sample")
         # Per-device RNG stream: fold mesh coordinates into the frame key —
@@ -109,6 +118,23 @@ def render_sharded(
         )
         row0 = ti * rows_per
         R = rows_per * width
+
+        if engine == "cluster":
+            from ..ops.pallas_cluster import render_cluster
+
+            seed = jax.random.key_data(dev_key).ravel()[-1].astype(jnp.int32)
+            band = render_cluster(
+                scene_rep, cam_rep, seed, width=width, height=height,
+                spp=spp_per, max_depth=max_depth,
+                enable_refraction=enable_refraction, gamma=False,
+                n_active=n_active, rows=rows_per, row_offset=row0,
+                interpret=interpret, mesh=mesh_rep,
+                n_tri_active=n_tri_active,
+            )
+            band = jax.lax.pmean(band, axis_name="sample")
+            if gamma:
+                band = jnp.clip(jnp.sqrt(jnp.maximum(band, 0.0)), 0.0, 1.0)
+            return band
 
         if engine == "pallas":
             from ..ops.pallas_megakernel import render_pallas
@@ -158,14 +184,22 @@ def render_sharded(
             img = jnp.clip(jnp.sqrt(jnp.maximum(img, 0.0)), 0.0, 1.0)
         return img
 
+    operands = (scene, cam, key)
+    in_specs = (P(), P(), P())
+    if scene_mesh is not None:
+        if engine != "cluster":
+            raise ValueError("scene_mesh: use engine='cluster' (or bake the "
+                             "mesh into the lax path via render())")
+        operands += (scene_mesh,)
+        in_specs += (P(),)
     out = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=in_specs,
         out_specs=P("tile", None, None),
         # pallas_call's out_shape carries no varying-manual-axes metadata,
         # so the VMA checker cannot type it; the psum/pmean layering is
         # identical to the (checked) lax branch.
-        check_vma=(engine != "pallas"),
-    )(scene, cam, key)
+        check_vma=(engine not in ("pallas", "cluster")),
+    )(*operands)
     return out
