@@ -281,3 +281,48 @@ def test_linear_accumulation_mode():
         assert r.accumulated_image is not None
     finally:
         r.stop_rendering()
+
+
+def test_mesh_attach_render_and_session_roundtrip(rti, tmp_path):
+    """Attach a triangle mesh, render headlessly, round-trip it through a
+    saved session."""
+    from tpu_rt.ops.triangle import box
+
+    n = 12
+    rti.set_mesh(box(center=(0, 1, -3), size=(1.5, 1.5, 1.5),
+                     albedo=(0.9, 0.2, 0.1)))
+    assert rti.ray_tracer._mesh is not None
+    rti.start_rendering()
+    frames = drain(rti)
+    assert frames and frames[-1].get("done")
+    img = next(f["display"] for f in frames if "display" in f)
+    assert np.isfinite(img).all()
+
+    p = str(tmp_path / "mesh_session.npz")
+    rti.save_session(p)
+
+    r2 = RayTracerInteraction(48, 36)
+    try:
+        r2.load_session(p)
+        assert r2.mesh is not None
+        assert int(np.asarray(r2.mesh.valid).sum()) == n
+        assert r2.ray_tracer._mesh is not None
+        frames2 = drain(r2)
+        assert frames2
+    finally:
+        r2.stop_rendering()
+
+    # clearing the mesh goes back to spheres-only
+    rti.set_mesh(None)
+    assert rti.ray_tracer._mesh is None
+
+
+def test_load_mesh_from_obj(rti, tmp_path):
+    from tpu_rt.ops.triangle import box
+    from tpu_rt.utils.objio import save_obj
+
+    p = str(tmp_path / "b.obj")
+    save_obj(p, box(center=(0, 1, -3), size=(1, 1, 1)))
+    count = rti.load_mesh_from_obj(p, default_albedo=(0.2, 0.8, 0.3))
+    assert count == 12
+    assert rti.mesh is not None

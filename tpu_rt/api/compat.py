@@ -364,6 +364,10 @@ class RayTracer:
         # Observability: engine + intersector the last render() resolved to.
         self._last_engine: str | None = None
         self._last_use_bvh: bool | None = None
+        # Optional triangle mesh rendered alongside the sphere scene
+        # (beyond-reference capability; the nearer surface wins per bounce).
+        self._mesh = None
+        self._n_tri_active: int | None = None
 
     # -- scene ----------------------------------------------------------
     def set_scene(self, scene: Scene):
@@ -395,6 +399,17 @@ class RayTracer:
         self._n_active = _F.quantize_count(
             len(snap.spheres), self._scene_arrays.capacity)
         self._debug.build_count += 1
+
+    def set_mesh(self, mesh) -> None:
+        """Attach (or clear, with None) a TriangleMesh (ops.triangle) to be
+        rendered alongside the sphere scene. Engine selection accounts for
+        it: large meshes route to the Pallas cluster engine."""
+        self._mesh = mesh
+        if mesh is None:
+            self._n_tri_active = None
+        else:
+            n = int(np.asarray(mesh.valid).sum())
+            self._n_tri_active = _F.quantize_count(n, mesh.capacity)
 
     # -- camera ---------------------------------------------------------
     def get_camera(self) -> Camera:
@@ -435,7 +450,7 @@ class RayTracer:
         use_bvh = bool(self._scene_snapshot.use_bvh)
         self._last_engine = _F.select_engine(
             self._scene_arrays, self._mode, self._enable_refraction,
-            not self._linear, None, "auto")
+            not self._linear, self._mesh, "auto")
         self._last_use_bvh = use_bvh and self._last_engine == "lax"
         img = _F.render(
             self._scene_arrays, self.camera.to_params(), key,
@@ -446,6 +461,8 @@ class RayTracer:
             seed=seed,
             use_bvh=use_bvh,
             n_active=self._n_active,
+            mesh=self._mesh,
+            n_tri_active=self._n_tri_active,
         )
         self._debug.render_count += 1
         return np.asarray(img).reshape(-1)

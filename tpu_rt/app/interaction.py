@@ -358,6 +358,9 @@ class RayTracerInteraction:
 
         self.accumulated_image: Optional[np.ndarray] = None
         self.total_samples = 0
+        # Optional triangle mesh rendered alongside the spheres
+        # (beyond-reference; previews and selection stay sphere-based).
+        self.mesh = None
         self.frame_queue: Queue = Queue()
         self.render_lock = threading.RLock()
         self.denoiser = Denoiser()
@@ -691,7 +694,8 @@ class RayTracerInteraction:
     # ------------------------------------------------------------------
 
     def save_session(self, path: str):
-        """Snapshot scene + camera + settings + progressive accumulator."""
+        """Snapshot scene + camera + settings + progressive accumulator
+        (+ the attached triangle mesh, if any)."""
         from ..utils import save_checkpoint
 
         with self.render_lock:
@@ -700,21 +704,25 @@ class RayTracerInteraction:
                 dict(self.settings) if not isinstance(self.settings, dict)
                 else self.settings,
                 self.accumulated_image, self.total_samples,
+                mesh=self.mesh,
             )
 
     def load_session(self, path: str):
         """Restore a saved session and resume progressive rendering from the
         checkpointed accumulator."""
-        from ..utils import load_checkpoint
+        from ..utils import load_checkpoint_with_mesh
 
-        scene, camera, settings, acc, total = load_checkpoint(path)
+        scene, camera, settings, acc, total, mesh = (
+            load_checkpoint_with_mesh(path))
         with self.render_lock:
             self.render_state.is_rendering = False
             time.sleep(0.02)
             self.scene = scene
             self.camera = camera
             self.settings.update(settings)
+            self.mesh = mesh
             self.ray_tracer.set_scene(scene)
+            self.ray_tracer.set_mesh(mesh)
             self.ray_tracer.set_camera(camera)
             self.camera_controller.camera = camera
             self.camera_controller.update_camera_frame()
@@ -728,6 +736,24 @@ class RayTracerInteraction:
                 self.accumulated_image = None
                 self.total_samples = 0
         self.resume_rendering()
+
+    def set_mesh(self, mesh):
+        """Attach (or clear, with None) a TriangleMesh to the live session;
+        resets accumulation like any scene edit (interaction.py:1186-1196
+        semantics). Large meshes route to the Pallas cluster engine."""
+        with self.render_lock:
+            self.mesh = mesh
+            self.ray_tracer.set_mesh(mesh)
+        self.restart_rendering()
+
+    def load_mesh_from_obj(self, path: str, **load_kwargs):
+        """Load a Wavefront OBJ (utils.objio) into the session. Returns the
+        triangle count."""
+        from ..utils.objio import load_obj
+
+        mesh = load_obj(path, **load_kwargs)
+        self.set_mesh(mesh)
+        return int(np.asarray(mesh.valid).sum())
 
     def resume_rendering(self):
         """Start the render worker WITHOUT zeroing the accumulator (unlike
