@@ -42,6 +42,27 @@ def main() -> int:
                      spp=spp, max_depth=depth, seed=0)
         _ = float(jnp.sum(img))
         print(f"{w}x{h} @ {spp}spp depth {depth}: ready in {time.time() - t0:.1f}s")
+
+    # large-scene engine buckets (cluster; sphere + triangle phases)
+    if any("TPU" in str(d) for d in jax.devices()):
+        from tpu_rt.core.scenes import random_spheres, terrain_mesh
+        from tpu_rt.ops.pallas_cluster import render_cluster
+
+        big = random_spheres(1000, seed=1, spread=30.0)
+        t0 = time.time()
+        img = render_cluster(big, tpu_rt.make_camera(aspect=16 / 9), 0,
+                             width=1920, height=1080, spp=4, max_depth=4,
+                             n_active=1024)
+        _ = float(jnp.sum(img))
+        print(f"cluster 1024 spheres @ 1080p: ready in {time.time() - t0:.1f}s")
+
+        sph, mesh = terrain_mesh(n=24, seed=1)
+        t0 = time.time()
+        img = render_cluster(sph, tpu_rt.make_camera(aspect=16 / 9), 0,
+                             width=1920, height=1080, spp=4, max_depth=4,
+                             n_active=4, mesh=mesh, n_tri_active=1536)
+        _ = float(jnp.sum(img))
+        print(f"cluster 1536-tri mesh @ 1080p: ready in {time.time() - t0:.1f}s")
     print("compile cache warmed.")
     return 0
 
