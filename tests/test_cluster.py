@@ -304,3 +304,13 @@ def test_cluster_band_offsets_bit_identical(scene200):
                                     **kw))
     np.testing.assert_array_equal(top, full[:32])
     np.testing.assert_array_equal(bot, full[32:])
+
+
+def test_square_blocks_depth1_identical(scene200):
+    """The 64x64 screen-block mapping renders pixel-identical deterministic
+    frames (same per-pixel math, different tiling)."""
+    kw = dict(width=96, height=64, spp=1, max_depth=1, jitter=False,
+              interpret=True, n_active=200)
+    a = np.asarray(render_cluster(scene200, CAM, 0, square_blocks=False, **kw))
+    b = np.asarray(render_cluster(scene200, CAM, 0, square_blocks=True, **kw))
+    np.testing.assert_array_equal(a, b)

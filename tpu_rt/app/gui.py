@@ -244,6 +244,13 @@ class ControlPanel(QTabWidget if HAVE_QT else object):
         lay.addWidget(add)
         lay.addWidget(rem)
 
+        load_obj = QPushButton("Load OBJ Mesh...")
+        load_obj.clicked.connect(self._load_obj_mesh)
+        clear_obj = QPushButton("Clear Mesh")
+        clear_obj.clicked.connect(lambda: self.rt.set_mesh(None))
+        lay.addWidget(load_obj)
+        lay.addWidget(clear_obj)
+
         grp = QGroupBox("Procedural Texture")
         g = QVBoxLayout(grp)
         self.texture_type = QComboBox()
@@ -260,6 +267,21 @@ class ControlPanel(QTabWidget if HAVE_QT else object):
         g.addWidget(apply_tex)
         lay.addWidget(grp)
         lay.addStretch()
+
+    def _load_obj_mesh(self):
+        """File-dialog OBJ import onto the live session (beyond-reference:
+        the reference has no asset pipeline; tpu_rt.utils.objio)."""
+        from PyQt5.QtWidgets import QFileDialog
+
+        path, _ = QFileDialog.getOpenFileName(
+            self, "Load OBJ mesh", "", "Wavefront OBJ (*.obj)")
+        if path:
+            try:
+                n = self.rt.load_mesh_from_obj(path)
+                self.gui.statusBar().showMessage(
+                    f"Loaded {n} triangles from {path}", 5000)
+            except Exception as e:  # surface parse errors, don't crash the UI
+                self.gui.statusBar().showMessage(f"OBJ load failed: {e}", 8000)
 
     def _apply_texture(self):
         params = PL.texture_params(

@@ -376,13 +376,22 @@ def _order_near_to_far(cl: ClusteredScene, cam_pos) -> ClusteredScene:
 def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                  cluster_size, jitter=True, enable_refraction=False,
                  gamma=True, rr_start=3, hash_rng=False, fast_sweep=False,
-                 n_tri_global=0, n_tri_supers=0):
+                 n_tri_global=0, n_tri_supers=0, square_blocks=False):
     C = cluster_size
     G = n_global
     S = n_supers
     GT = n_tri_global
     ST = n_tri_supers
-    blocks_x = -(-width // LANES)
+    # Screen-block geometry: the same 4096 lanes can cover a 64x64 pixel
+    # square instead of a 32x128 strip (square_blocks=True). Measured on
+    # ground-plane scenes the square is ~20% SLOWER (10k spheres: 141 vs
+    # 110 ms): screen y maps to scene depth for a horizon camera, so 64
+    # rows span more depth than 32 and the tile frustum crosses MORE
+    # cluster boxes despite the shorter pixel diagonal. Strips stay the
+    # default; the option remains for depth-light cameras (top-down,
+    # interiors) where the square's tighter x-extent can win.
+    blk_w, blk_h = (64, 64) if square_blocks else (LANES, SUBLANES)
+    blocks_x = -(-width // blk_w)
 
     def kernel(cam_ref, glob_ref, sboxes_ref, boxes_ref, bg_ref, seed_ref,
                attr_ref, tglob_ref, tsboxes_ref, tboxes_ref, tattr_ref,
@@ -395,7 +404,7 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
         # are keyed by the GLOBAL tile id so a sharded frame and a
         # single-device frame draw identical per-tile sequences.
         row0 = seed_ref[1]
-        t_global = (row0 // SUBLANES) * blocks_x + t
+        t_global = (row0 // blk_h) * blocks_x + t
         seed_scalar = seed_ref[0] + t_global * n_spp + s
         if not hash_rng:
             pltpu.prng_seed(seed_scalar)
@@ -410,12 +419,16 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
         shape = (SUBLANES, LANES)
         sub = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        # screen-block pixel mapping: tile t covers rows
-        # [row0 + bi*32, row0 + bi*32+32) x cols [bj*128, bj*128+128)
+        # screen-block pixel mapping: tile t covers blk_h rows x blk_w cols
         bi = t // blocks_x
         bj = t % blocks_x
-        pxi = bj * LANES + lane
-        pyi = row0 + bi * SUBLANES + sub
+        if square_blocks:
+            # lane = l2*64 + c; block-local row = sub*2 + l2, col = c
+            pxi = bj * blk_w + lane % 64
+            pyi = row0 + bi * blk_h + sub * 2 + lane // 64
+        else:
+            pxi = bj * blk_w + lane
+            pyi = row0 + bi * blk_h + sub
         px = pxi.astype(jnp.float32)
         py = pyi.astype(jnp.float32)
         flat = pyi * width + pxi  # hash-RNG stream id
@@ -871,7 +884,8 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
     static_argnames=("width", "height", "spp", "max_depth", "jitter",
                      "enable_refraction", "gamma", "with_stats", "interpret",
                      "cluster_size", "n_global", "n_active", "fast_sweep",
-                     "n_tri_global", "n_tri_active", "rows"),
+                     "n_tri_global", "n_tri_active", "rows",
+                     "square_blocks"),
 )
 def render_cluster(
     scene: SphereScene,
@@ -895,6 +909,7 @@ def render_cluster(
     n_tri_active: int | None = None,
     rows: int | None = None,
     row_offset=0,
+    square_blocks: bool = False,
 ):
     """Large-scene fused render; returns (height, width, 3) f32 in [0, 1].
 
@@ -941,10 +956,11 @@ def render_cluster(
         tattr = jnp.zeros((1, (C * 16) // LANES, LANES), jnp.float32)
 
     out_rows = height if rows is None else rows
-    if rows is not None and rows % SUBLANES != 0:
-        raise ValueError(f"band rows {rows} must be a multiple of {SUBLANES}")
-    blocks_x = -(-width // LANES)
-    blocks_y = -(-out_rows // SUBLANES)
+    blk_w, blk_h = (64, 64) if square_blocks else (LANES, SUBLANES)
+    if rows is not None and rows % blk_h != 0:
+        raise ValueError(f"band rows {rows} must be a multiple of {blk_h}")
+    blocks_x = -(-width // blk_w)
+    blocks_y = -(-out_rows // blk_h)
     n_tiles = blocks_x * blocks_y
 
     cam_packed = _pack_camera(cam)
@@ -956,7 +972,8 @@ def render_cluster(
                           jitter=jitter, enable_refraction=enable_refraction,
                           gamma=gamma, hash_rng=interpret,
                           fast_sweep=fast_sweep,
-                          n_tri_global=GT, n_tri_supers=ST)
+                          n_tri_global=GT, n_tri_supers=ST,
+                          square_blocks=square_blocks)
     out, segs = pl.pallas_call(
         kernel,
         grid=(n_tiles, spp),
@@ -995,9 +1012,15 @@ def render_cluster(
       tglob, tsboxes, tboxes, tattr)
 
     # reassemble screen blocks -> image (band)
-    img = out.reshape(3, blocks_y, blocks_x, SUBLANES, LANES)
-    img = jnp.transpose(img, (0, 1, 3, 2, 4))
-    img = img.reshape(3, blocks_y * SUBLANES, blocks_x * LANES)
+    if square_blocks:
+        # lane = l2*64 + c; block-local row = sub*2 + l2
+        img = out.reshape(3, blocks_y, blocks_x, SUBLANES, 2, 64)
+        img = jnp.transpose(img, (0, 1, 3, 4, 2, 5))
+        img = img.reshape(3, blocks_y * blk_h, blocks_x * blk_w)
+    else:
+        img = out.reshape(3, blocks_y, blocks_x, SUBLANES, LANES)
+        img = jnp.transpose(img, (0, 1, 3, 2, 4))
+        img = img.reshape(3, blocks_y * blk_h, blocks_x * blk_w)
     img = jnp.moveaxis(img[:, :out_rows, :width], 0, -1)
     if with_stats:
         total = jnp.sum(segs)
