@@ -102,22 +102,22 @@ def main():
     tcam = jax.device_put(
         tpu_rt.make_camera(position=(0, 6, 6), target=(0, 0, -10),
                            aspect=W / H), dev)
+    from tpu_rt.render.frame import quantize_count
+
     for grid_n in (24, 72, 226):
         sph, tmesh = terrain_mesh(n=grid_n, seed=1)
         ntri = int(np.asarray(tmesh.valid).sum())
         sph = jax.device_put(sph, dev)
         tmesh = jax.device_put(tmesh, dev)
-        nq = -512 * (-ntri // 512)
+        nq = quantize_count(ntri, tmesh.capacity)  # production bucketing
         dt = steady_state(
             lambda s, sph=sph, tmesh=tmesh, nq=nq: render_cluster(
                 sph, tcam, s, width=W, height=H, spp=SPP, max_depth=D,
-                n_active=4, mesh=tmesh,
-                n_tri_active=min(nq, tmesh.capacity)),
+                n_active=4, mesh=tmesh, n_tri_active=nq),
             reps=2, chain=3)
         _, segs = render_cluster(sph, tcam, 0, width=W, height=H, spp=SPP,
                                  max_depth=D, n_active=4, mesh=tmesh,
-                                 n_tri_active=min(nq, tmesh.capacity),
-                                 with_stats=True)
+                                 n_tri_active=nq, with_stats=True)
         rows.append((f"terrain {ntri} tris / cluster", dt, prim / dt / 1e6))
         rows.append((f"terrain {ntri} tris / cluster (traced)", dt,
                      int(segs) / dt / 1e6))

@@ -139,9 +139,11 @@ def test_engine_auto_dispatch():
     # on CPU both resolve to lax; force the TPU-decision inputs instead
     assert select_engine(big, engine="cluster") == "cluster"
     assert select_engine(small, engine="lax") == "lax"
-    # quantization: cluster granularity above the megakernel bucket
+    # quantization: 4s in the sphere-megakernel range, 16s in the triangle-
+    # megakernel range (65-256), 512s at cluster scale
     assert quantize_count(9, 16) == 12
-    assert quantize_count(200, 4096) == 512
+    assert quantize_count(65, 128) == 80
+    assert quantize_count(200, 4096) == 208
     assert quantize_count(513, 4096) == 1024
 
 

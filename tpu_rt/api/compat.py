@@ -448,10 +448,14 @@ class RayTracer:
         # dense sweeps for LBVH traversal; the megakernel's fused unroll is
         # already the accelerated path at its scene sizes.
         use_bvh = bool(self._scene_snapshot.use_bvh)
-        self._last_engine = _F.select_engine(
+        # Resolve the engine ONCE and force it through render(), so the
+        # observability fields can never diverge from the engine actually
+        # used (select_engine is deterministic in these arguments).
+        engine = _F.select_engine(
             self._scene_arrays, self._mode, self._enable_refraction,
             not self._linear, self._mesh, "auto")
-        self._last_use_bvh = use_bvh and self._last_engine == "lax"
+        self._last_engine = engine
+        self._last_use_bvh = use_bvh and engine == "lax"
         img = _F.render(
             self._scene_arrays, self.camera.to_params(), key,
             width=width, height=height, spp=samples_per_pixel,
@@ -463,6 +467,7 @@ class RayTracer:
             n_active=self._n_active,
             mesh=self._mesh,
             n_tri_active=self._n_tri_active,
+            engine=engine,
         )
         self._debug.render_count += 1
         return np.asarray(img).reshape(-1)

@@ -77,16 +77,20 @@ def quantize_count(n: int, capacity: int) -> int:
     """Quantize an active-primitive count to the static kernel bucket.
 
     n_active is a STATIC kernel parameter: a new value means a fresh
-    Mosaic compile. Small scenes quantize to multiples of 4 (megakernel
-    unroll groups); large scenes to multiples of 512 (the cluster engine's
-    super-cluster granularity at the default C=64 x FANOUT=8), so
-    interactive add/remove only recompiles at group boundaries.
+    Mosaic compile. Small counts quantize to multiples of 4 (megakernel
+    unroll groups); 65-256 to multiples of 16 (still megakernel range for
+    triangles — a 512 quantum here would inflate the unrolled sweep to the
+    full bucket); larger counts to multiples of 512 (cluster-engine scale,
+    where n_active only bounds the table slice), so interactive add/remove
+    only recompiles at group boundaries.
     """
     if not n:
         return 1
     n = int(n)
-    if n > 64:
+    if n > 256:
         return min(capacity, -512 * (-n // 512))
+    if n > 64:
+        return min(capacity, -16 * (-n // 16))
     return min(capacity, -4 * (-n // 4))
 
 

@@ -138,8 +138,18 @@ def load_checkpoint(path: str) -> Tuple[Scene, Camera, dict,
                                         Optional[np.ndarray], int]:
     """Restore (scene, camera, settings, accumulated_image, total_samples).
 
-    Sessions saved with a mesh: use ``load_checkpoint_with_mesh``."""
-    return load_checkpoint_with_mesh(path)[:5]
+    Sessions saved with a mesh: use ``load_checkpoint_with_mesh`` — this
+    5-tuple API warns rather than silently dropping the geometry."""
+    result = load_checkpoint_with_mesh(path)
+    if result[5] is not None:
+        import warnings
+
+        warnings.warn(
+            f"{path} contains a triangle mesh that load_checkpoint drops; "
+            "use load_checkpoint_with_mesh to restore it",
+            stacklevel=2,
+        )
+    return result[:5]
 
 
 def load_checkpoint_with_mesh(path: str):

@@ -86,10 +86,11 @@ def load_obj(
 
     verts: list[tuple[float, float, float]] = []
     faces: list[tuple[int, int, int]] = []
-    face_mat: list[dict] = []
+    face_mid: list[int] = []       # per-face index into mat_table
     face_oid: list[int] = []
     mats: dict[str, dict] = {}
-    cur_mat: dict = {"albedo": tuple(default_albedo)}
+    mat_table: list[dict] = [{"albedo": tuple(default_albedo)}]
+    cur_mid = 0
     oid = first_object_id
     seen_face_in_group = False
 
@@ -105,7 +106,7 @@ def load_obj(
                 idx = [_face_vertex(tok, len(verts)) for tok in parts[1:]]
                 for k in range(1, len(idx) - 1):  # fan triangulation
                     faces.append((idx[0], idx[k], idx[k + 1]))
-                    face_mat.append(cur_mat)
+                    face_mid.append(cur_mid)
                     face_oid.append(oid)
                 seen_face_in_group = True
             elif key in ("o", "g"):
@@ -118,8 +119,10 @@ def load_obj(
                 mats.update(_parse_mtl(mtl_path))
             elif key == "usemtl":
                 name = " ".join(parts[1:])
-                cur_mat = dict(mats.get(name, {"albedo": default_albedo}))
-                cur_mat.setdefault("albedo", tuple(default_albedo))
+                m = dict(mats.get(name, {"albedo": default_albedo}))
+                m.setdefault("albedo", tuple(default_albedo))
+                mat_table.append(m)
+                cur_mid = len(mat_table) - 1
 
     if not faces:
         raise ValueError(f"{path}: no faces found")
@@ -127,13 +130,16 @@ def load_obj(
     v = (np.asarray(verts, np.float32) * np.float32(scale)
          + np.asarray(translate, np.float32))
     fc = np.asarray(faces, np.int64)
-    n = fc.shape[0]
+    mid = np.asarray(face_mid, np.int64)
 
     def field(name, default, width=None):
-        out = np.empty((n, width) if width else (n,), np.float32)
-        for i, m in enumerate(face_mat):
-            out[i] = m.get(name, default)
-        return out
+        # one row per MATERIAL, fanned out to faces by index — O(M + F)
+        # vectorized, not O(6F) Python loops (100k-tri files load fast)
+        shape = (len(mat_table), width) if width else (len(mat_table),)
+        table = np.empty(shape, np.float32)
+        for j, m in enumerate(mat_table):
+            table[j] = m.get(name, default)
+        return table[mid]
 
     return make_mesh(
         v, fc,
