@@ -196,6 +196,9 @@ class Camera:
         self.up = Vector3(0.0, 1.0, 0.0)
         self.fov = 45.0
         self.aspect_ratio = 1.333
+        # Thin-lens DOF (beyond-reference; 0 = reference pinhole behavior).
+        self.aperture = 0.0
+        self.focus_dist = 0.0
 
     def get_ray(self, u: float, v: float) -> Ray:
         """NDC (u-.5)*2 mapping (old/raytracer_core copy.h:160-184)."""
@@ -230,6 +233,8 @@ class Camera:
             up=(self.up.x, self.up.y, self.up.z),
             fov=self.fov,
             aspect=self.aspect_ratio,
+            aperture=getattr(self, "aperture", 0.0),
+            focus_dist=getattr(self, "focus_dist", 0.0),
         )
 
 
@@ -421,6 +426,8 @@ class RayTracer:
         c.up = Vector3(self.camera.up.x, self.camera.up.y, self.camera.up.z)
         c.fov = self.camera.fov
         c.aspect_ratio = self.camera.aspect_ratio
+        c.aperture = getattr(self.camera, "aperture", 0.0)
+        c.focus_dist = getattr(self.camera, "focus_dist", 0.0)
         return c
 
     def set_camera(self, cam: Camera):

@@ -318,10 +318,25 @@ class ControlPanel(QTabWidget if HAVE_QT else object):
                    self.rt.settings["camera_rotate_speed"],
                    lambda v: self._set("camera_rotate_speed", v),
                    double=True, step=0.05)
+        self._spin(lay, "Aperture (DOF)", 0.0, 2.0,
+                   getattr(cam, "aperture", 0.0),
+                   lambda v: self._set_lens("aperture", v),
+                   double=True, step=0.01)
+        self._spin(lay, "Focus Dist (0 = target)", 0.0, 50.0,
+                   getattr(cam, "focus_dist", 0.0),
+                   lambda v: self._set_lens("focus_dist", v),
+                   double=True, step=0.1)
         reset = QPushButton("Reset Camera")
         reset.clicked.connect(self.rt.reset_camera_and_rerender)
         lay.addWidget(reset)
         lay.addStretch()
+
+    def _set_lens(self, field, value):
+        if self._updating:
+            return
+        setattr(self.rt.camera, field, float(value))
+        self.rt.ray_tracer.set_camera(self.rt.camera)
+        self.rt.restart_rendering()
 
     def _set_camera(self, obj, axis, value):
         if self._updating:

@@ -42,12 +42,19 @@ def tan_half_fov(cam: CameraP) -> jnp.ndarray:
     return jnp.tan(cam.fov * (REF_PI / 360.0))
 
 
-def generate_rays(cam: CameraP, u: jnp.ndarray, v: jnp.ndarray):
+def generate_rays(cam: CameraP, u: jnp.ndarray, v: jnp.ndarray,
+                  lens_xi: jnp.ndarray | None = None):
     """Rays through screen coords ``u, v`` in [0, 1] (any broadcastable shape).
 
     Returns (origins, directions), both shaped ``u.shape + (3,)``, directions
     normalized. Math of Camera::get_ray (old/raytracer_core copy.h:160-184):
     ndc = (u-.5)*2 / (.5-v)*2, view = ndc * [aspect *] tan_fov.
+
+    ``lens_xi``: optional ``u.shape + (2,)`` uniforms enabling thin-lens
+    depth of field (beyond-reference): origins jitter on a disk of radius
+    ``cam.aperture`` in the lens plane and directions re-aim at the ray's
+    point on the focal plane (perpendicular to forward at ``focus_dist``;
+    <= 0 focuses at the look-at target).
     """
     forward, right, up = basis(cam)
     tf = tan_half_fov(cam)
@@ -59,7 +66,21 @@ def generate_rays(cam: CameraP, u: jnp.ndarray, v: jnp.ndarray):
 
     direction = vm.normalize(forward + right * view_x + up * view_y)
     origin = jnp.broadcast_to(cam.position, direction.shape)
-    return origin, direction
+    if lens_xi is None:
+        return origin, direction
+
+    focus = jnp.where(cam.focus_dist > 0.0, cam.focus_dist,
+                      vm.length(cam.target - cam.position))
+    # point on the focal plane along the pinhole ray
+    cos_f = jnp.sum(direction * forward, axis=-1, keepdims=True)
+    focal_pt = origin + direction * (focus / jnp.maximum(cos_f, 1e-6))
+    # uniform disk sample of the lens
+    r = cam.aperture * jnp.sqrt(lens_xi[..., 0])
+    phi = (2.0 * jnp.pi) * lens_xi[..., 1]
+    lx = (r * jnp.cos(phi))[..., None]
+    ly = (r * jnp.sin(phi))[..., None]
+    origin = origin + right * lx + up * ly
+    return origin, vm.normalize(focal_pt - origin)
 
 
 def pixel_uv(width: int, height: int, jitter: jnp.ndarray | None = None):

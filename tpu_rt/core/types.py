@@ -65,6 +65,12 @@ class CameraP(NamedTuple):
     up: jnp.ndarray        # (3,) f32
     fov: jnp.ndarray       # ()   f32, degrees
     aspect: jnp.ndarray    # ()   f32
+    # Thin-lens depth of field (beyond-reference; the reference camera is a
+    # pinhole). aperture = lens radius in world units (0 = pinhole);
+    # focus_dist = distance from the camera to the focal plane along
+    # forward (<= 0 means focus at the look-at target).
+    aperture: jnp.ndarray = None   # () f32
+    focus_dist: jnp.ndarray = None  # () f32
 
 
 def sphere_bucket(n: int) -> int:
@@ -136,8 +142,13 @@ def make_camera(
     up=(0.0, 1.0, 0.0),
     fov: float = 45.0,
     aspect: float = 4.0 / 3.0,
+    aperture: float = 0.0,
+    focus_dist: float = 0.0,
 ) -> CameraP:
-    """Default pose matches the reference GUI init (interaction.py:638-643)."""
+    """Default pose matches the reference GUI init (interaction.py:638-643).
+
+    ``aperture`` > 0 enables thin-lens depth of field (lens radius, world
+    units); ``focus_dist`` <= 0 focuses at the look-at target."""
     f32 = np.float32
     return CameraP(
         position=jnp.asarray(np.asarray(position, f32)),
@@ -145,6 +156,8 @@ def make_camera(
         up=jnp.asarray(np.asarray(up, f32)),
         fov=jnp.asarray(f32(fov)),
         aspect=jnp.asarray(f32(aspect)),
+        aperture=jnp.asarray(f32(aperture)),
+        focus_dist=jnp.asarray(f32(focus_dist)),
     )
 
 

@@ -69,6 +69,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.types import CameraP, SphereScene, T_MAX
 from .bvh import morton_codes
 from .pallas_megakernel import (
+    TWO_PI,
     _hash_uniform,
     _normalize3,
     _dot3,
@@ -376,7 +377,8 @@ def _order_near_to_far(cl: ClusteredScene, cam_pos) -> ClusteredScene:
 def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                  cluster_size, jitter=True, enable_refraction=False,
                  gamma=True, rr_start=3, hash_rng=False, fast_sweep=False,
-                 n_tri_global=0, n_tri_supers=0, square_blocks=False):
+                 n_tri_global=0, n_tri_supers=0, square_blocks=False,
+                 enable_dof=False):
     C = cluster_size
     G = n_global
     S = n_supers
@@ -466,6 +468,24 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
         ox = jnp.full(shape, cpx)
         oy = jnp.full(shape, cpy)
         oz = jnp.full(shape, cpz)
+
+        if enable_dof:
+            # thin-lens DOF (same math as the megakernel)
+            ap = cam_ref[0, 14]
+            fo = cam_ref[0, 15]
+            cosf = dx * fwx + dy * fwy + dz * fwz
+            tfoc = fo / jnp.maximum(cosf, 1e-6)
+            fpx = ox + dx * tfoc
+            fpy = oy + dy * tfoc
+            fpz = oz + dz * tfoc
+            r_l = ap * jnp.sqrt(U())
+            ph = TWO_PI * U()
+            lx = r_l * jnp.cos(ph)
+            ly = r_l * jnp.sin(ph)
+            ox = ox + rix * lx + upx * ly
+            oy = oy + riy * lx + upy * ly
+            oz = oz + riz * lx + upz * ly
+            dx, dy, dz = _normalize3(fpx - ox, fpy - oy, fpz - oz)
 
         tr = jnp.ones(shape, jnp.float32)
         tg = jnp.ones(shape, jnp.float32)
@@ -885,7 +905,7 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                      "enable_refraction", "gamma", "with_stats", "interpret",
                      "cluster_size", "n_global", "n_active", "fast_sweep",
                      "n_tri_global", "n_tri_active", "rows",
-                     "square_blocks"),
+                     "square_blocks", "enable_dof"),
 )
 def render_cluster(
     scene: SphereScene,
@@ -910,6 +930,7 @@ def render_cluster(
     rows: int | None = None,
     row_offset=0,
     square_blocks: bool = False,
+    enable_dof: bool = False,
 ):
     """Large-scene fused render; returns (height, width, 3) f32 in [0, 1].
 
@@ -973,7 +994,8 @@ def render_cluster(
                           gamma=gamma, hash_rng=interpret,
                           fast_sweep=fast_sweep,
                           n_tri_global=GT, n_tri_supers=ST,
-                          square_blocks=square_blocks)
+                          square_blocks=square_blocks,
+                          enable_dof=enable_dof)
     out, segs = pl.pallas_call(
         kernel,
         grid=(n_tiles, spp),

@@ -109,7 +109,7 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                  jitter=True, enable_refraction=False, gamma=True,
-                 rr_start=3, hash_rng=False):
+                 rr_start=3, hash_rng=False, enable_dof=False):
     """Build the kernel body for static (w, h, spp, depth, N).
 
     ``hash_rng=True`` swaps the hardware PRNG for the counter-hash RNG
@@ -182,6 +182,25 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
             ox = jnp.full(shape, cpx)
             oy = jnp.full(shape, cpy)
             oz = jnp.full(shape, cpz)
+
+            if enable_dof:
+                # thin-lens: jitter the origin on the aperture disk and
+                # re-aim at the pinhole ray's focal-plane point
+                ap = cam_ref[0, 14]
+                fo = cam_ref[0, 15]
+                cosf = dx * fwx + dy * fwy + dz * fwz
+                tfoc = fo / jnp.maximum(cosf, 1e-6)
+                fpx = ox + dx * tfoc
+                fpy = oy + dy * tfoc
+                fpz = oz + dz * tfoc
+                r_l = ap * jnp.sqrt(U())
+                ph = TWO_PI * U()
+                lx = r_l * jnp.cos(ph)
+                ly = r_l * jnp.sin(ph)
+                ox = ox + rix * lx + upx * ly
+                oy = oy + riy * lx + upy * ly
+                oz = oz + riz * lx + upz * ly
+                dx, dy, dz = _normalize3(fpx - ox, fpy - oy, fpz - oz)
 
             thr_r = jnp.ones(shape, jnp.float32)
             thr_g = jnp.ones(shape, jnp.float32)
@@ -444,19 +463,27 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
 
 
 def _pack_camera(cam: CameraP) -> jnp.ndarray:
+    """[pos3, fwd3, right3, up3, tf*aspect, tf, aperture, focus] — 16 SMEM
+    scalars; focus <= 0 resolves to the look-at distance at pack time."""
     forward, right, up = cammod.basis(cam)
     tf = cammod.tan_half_fov(cam)
+    ap = cam.aperture if cam.aperture is not None else jnp.float32(0.0)
+    fd = cam.focus_dist if cam.focus_dist is not None else jnp.float32(0.0)
+    look = jnp.linalg.norm(cam.target - cam.position)
+    focus = jnp.where(fd > 0.0, fd, look)
     return jnp.concatenate([
         cam.position, forward, right, up,
-        jnp.stack([tf * cam.aspect, tf, jnp.float32(0.0)]),
-    ]).reshape(1, 15).astype(jnp.float32)
+        jnp.stack([tf * cam.aspect, tf,
+                   jnp.asarray(ap, jnp.float32),
+                   jnp.asarray(focus, jnp.float32)]),
+    ]).reshape(1, 16).astype(jnp.float32)
 
 
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "jitter",
                      "enable_refraction", "gamma", "with_stats", "interpret",
-                     "n_active", "rows", "n_tri_active"),
+                     "n_active", "rows", "n_tri_active", "enable_dof"),
 )
 def render_pallas(
     scene: SphereScene,
@@ -476,6 +503,7 @@ def render_pallas(
     row_offset=0,
     mesh=None,
     n_tri_active: int | None = None,
+    enable_dof: bool = False,
 ):
     """Fused single-chip render; returns (height, width, 3) f32 in [0, 1].
 
@@ -521,7 +549,7 @@ def render_pallas(
     kernel = _make_kernel(width, height, spp, max_depth, n_spheres,
                           n_tris=n_tris, jitter=jitter,
                           enable_refraction=enable_refraction, gamma=gamma,
-                          hash_rng=interpret)
+                          hash_rng=interpret, enable_dof=enable_dof)
     out, segs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

@@ -64,7 +64,7 @@ def make_mesh(
     jax.jit,
     static_argnames=("mesh", "width", "height", "spp", "max_depth", "mode",
                      "enable_refraction", "gamma", "engine", "n_active",
-                     "interpret", "n_tri_active"),
+                     "interpret", "n_tri_active", "enable_dof"),
 )
 def render_sharded(
     scene: SphereScene,
@@ -83,6 +83,7 @@ def render_sharded(
     interpret: bool = False,
     scene_mesh=None,
     n_tri_active: int | None = None,
+    enable_dof: bool = False,
 ):
     """Render one frame over the mesh; returns (height, width, 3) f32.
 
@@ -129,7 +130,7 @@ def render_sharded(
                 enable_refraction=enable_refraction, gamma=False,
                 n_active=n_active, rows=rows_per, row_offset=row0,
                 interpret=interpret, mesh=mesh_rep,
-                n_tri_active=n_tri_active,
+                n_tri_active=n_tri_active, enable_dof=enable_dof,
             )
             band = jax.lax.pmean(band, axis_name="sample")
             if gamma:
@@ -145,7 +146,7 @@ def render_sharded(
                 spp=spp_per, max_depth=max_depth,
                 enable_refraction=enable_refraction, gamma=False,
                 n_active=n_active, rows=rows_per, row_offset=row0,
-                interpret=interpret,
+                interpret=interpret, enable_dof=enable_dof,
             )
             band = jax.lax.pmean(band, axis_name="sample")
             if gamma:
@@ -163,7 +164,13 @@ def render_sharded(
             )
             u = (ii + xi[..., 0]) / width
             v = (jj + xi[..., 1]) / height
-            o, d = cammod.generate_rays(cam_rep, u.reshape(R), v.reshape(R))
+            if enable_dof:
+                lens = jax.random.uniform(jax.random.fold_in(k_s, 7),
+                                          (R, 2), jnp.float32)
+            else:
+                lens = None
+            o, d = cammod.generate_rays(cam_rep, u.reshape(R), v.reshape(R),
+                                        lens_xi=lens)
             color = trace(
                 scene_rep, o, d, k_trace, max_depth=max_depth, mode=mode,
                 enable_refraction=enable_refraction,

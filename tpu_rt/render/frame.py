@@ -113,6 +113,7 @@ def render(
     use_bvh: bool = False,
     n_active: int | None = None,
     n_tri_active: int | None = None,
+    enable_dof: bool | None = None,
 ):
     """Render one batch of ``spp`` samples; returns (height, width, 3) f32.
 
@@ -133,6 +134,17 @@ def render(
     counts (quantize_count) cached by the caller — passing them avoids a
     device->host pull of scene.valid on every interactive batch.
     """
+    if enable_dof is None:
+        # Auto-detect thin-lens DOF from the camera. The aperture is host
+        # data in every interactive path (Camera.to_params builds CameraP
+        # from floats), so this costs no device round-trip there; passing
+        # a committed device camera with enable_dof unset pulls one scalar.
+        ap = getattr(cam, "aperture", None)
+        try:
+            enable_dof = ap is not None and float(np.asarray(ap)) > 0.0
+        except Exception:
+            enable_dof = False
+
     resolved = select_engine(scene, mode, enable_refraction, gamma, mesh,
                              engine)
     if resolved in ("pallas", "cluster"):
@@ -161,7 +173,7 @@ def render(
             max_depth=max_depth, jitter=jitter,
             enable_refraction=enable_refraction, gamma=gamma,
             with_stats=with_stats, n_active=n_active,
-            mesh=mesh, n_tri_active=n_tri_active,
+            mesh=mesh, n_tri_active=n_tri_active, enable_dof=enable_dof,
         )
     if resolved == "pallas":
         from ..ops.pallas_megakernel import render_pallas
@@ -170,12 +182,13 @@ def render(
             max_depth=max_depth, jitter=jitter,
             enable_refraction=enable_refraction, with_stats=with_stats,
             n_active=n_active, mesh=mesh, n_tri_active=n_tri_active,
+            enable_dof=enable_dof,
         )
     return _render_lax(
         scene, cam, key, width=width, height=height, spp=spp,
         max_depth=max_depth, mode=mode, enable_refraction=enable_refraction,
         gamma=gamma, jitter=jitter, with_stats=with_stats, mesh=mesh,
-        use_bvh=use_bvh,
+        use_bvh=use_bvh, enable_dof=enable_dof,
     )
 
 
@@ -184,11 +197,13 @@ def render(
     static_argnames=(
         "width", "height", "spp", "max_depth", "mode",
         "enable_refraction", "gamma", "jitter", "with_stats", "use_bvh",
+        "enable_dof",
     ),
 )
 def _render_lax(
     scene, cam, key, *, width, height, spp, max_depth, mode,
     enable_refraction, gamma, jitter, with_stats, mesh, use_bvh=False,
+    enable_dof=False,
 ):
     """XLA lax render pipeline (general path: any estimator mode, meshes,
     linear output, CPU backends)."""
@@ -203,7 +218,13 @@ def _render_lax(
         else:
             xi = None
         u, v = cammod.pixel_uv(width, height, xi)
-        o, d = cammod.generate_rays(cam, u.reshape(R), v.reshape(R))
+        if enable_dof:
+            lens = jax.random.uniform(jax.random.fold_in(k_s, 7),
+                                      (R, 2), dtype=jnp.float32)
+        else:
+            lens = None
+        o, d = cammod.generate_rays(cam, u.reshape(R), v.reshape(R),
+                                    lens_xi=lens)
         color, nseg = trace(
             scene, o, d, k_trace,
             max_depth=max_depth, mode=mode,

@@ -124,7 +124,9 @@ def save_checkpoint(
         [camera.position.x, camera.position.y, camera.position.z,
          camera.target.x, camera.target.y, camera.target.z,
          camera.up.x, camera.up.y, camera.up.z,
-         camera.fov, camera.aspect_ratio], np.float64)
+         camera.fov, camera.aspect_ratio,
+         getattr(camera, "aperture", 0.0),
+         getattr(camera, "focus_dist", 0.0)], np.float64)
     payload["settings_json"] = np.asarray(
         json.dumps(dict(settings) if settings else {}))
     if accumulated_image is not None:
@@ -166,6 +168,9 @@ def load_checkpoint_with_mesh(path: str):
     camera.up = Vector3(*c[6:9])
     camera.fov = float(c[9])
     camera.aspect_ratio = float(c[10])
+    # lens fields appended in later sessions; older checkpoints are 11-wide
+    camera.aperture = float(c[11]) if len(c) > 11 else 0.0
+    camera.focus_dist = float(c[12]) if len(c) > 12 else 0.0
     settings = json.loads(str(data["settings_json"]))
     acc = (np.asarray(data["accumulated_image"])
            if "accumulated_image" in data else None)
