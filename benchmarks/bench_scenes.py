@@ -70,7 +70,7 @@ def main():
     # large scenes: cluster engine vs (small-N) megakernel — the crossover
     # table (VERDICT r1 item 3). The cluster engine reports traced Mrays/s
     # too via with_stats on a single dispatch.
-    from tpu_rt.ops.pallas_cluster import render_cluster
+    from tpu_rt.ops.pallas_cluster import build_clusters, render_cluster
 
     fcam = jax.device_put(
         tpu_rt.make_camera(position=(0, 6, 40), target=(0, 0, -18),
@@ -78,11 +78,15 @@ def main():
     for n, spread in ((64, 10.0), (256, 16.0), (1000, 30.0), (4096, 30.0),
                       (10000, 30.0), (100000, 95.0)):
         sc = jax.device_put(random_spheres(n, seed=1, spread=spread), dev)
-        dt = steady_state(lambda s, sc=sc, n=n: render_cluster(
+        # production path (render/frame.py) caches the camera-independent
+        # cluster build across progressive batches; measure the same way
+        pre = jax.block_until_ready(build_clusters(sc, n_active=n))
+        dt = steady_state(lambda s, sc=sc, n=n, pre=pre: render_cluster(
             sc, fcam, s, width=W, height=H, spp=SPP, max_depth=D,
-            n_active=n), reps=2, chain=3)
+            n_active=n, prebuilt=pre), reps=2, chain=3)
         _, segs = render_cluster(sc, fcam, 0, width=W, height=H, spp=SPP,
-                                 max_depth=D, n_active=n, with_stats=True)
+                                 max_depth=D, n_active=n, prebuilt=pre,
+                                 with_stats=True)
         traced = int(segs) / dt / 1e6
         rows.append((f"random {n} spheres / cluster", dt,
                      prim / dt / 1e6))
@@ -102,6 +106,7 @@ def main():
     tcam = jax.device_put(
         tpu_rt.make_camera(position=(0, 6, 6), target=(0, 0, -10),
                            aspect=W / H), dev)
+    from tpu_rt.ops.pallas_cluster import build_tri_clusters
     from tpu_rt.render.frame import quantize_count
 
     for grid_n in (24, 72, 226):
@@ -110,14 +115,20 @@ def main():
         sph = jax.device_put(sph, dev)
         tmesh = jax.device_put(tmesh, dev)
         nq = quantize_count(ntri, tmesh.capacity)  # production bucketing
+        spre = jax.block_until_ready(build_clusters(sph, n_active=4))
+        tpre = jax.block_until_ready(
+            build_tri_clusters(tmesh, n_active=nq))
         dt = steady_state(
-            lambda s, sph=sph, tmesh=tmesh, nq=nq: render_cluster(
+            lambda s, sph=sph, tmesh=tmesh, nq=nq, spre=spre, tpre=tpre:
+            render_cluster(
                 sph, tcam, s, width=W, height=H, spp=SPP, max_depth=D,
-                n_active=4, mesh=tmesh, n_tri_active=nq),
+                n_active=4, mesh=tmesh, n_tri_active=nq,
+                prebuilt=spre, tri_prebuilt=tpre),
             reps=2, chain=3)
         _, segs = render_cluster(sph, tcam, 0, width=W, height=H, spp=SPP,
                                  max_depth=D, n_active=4, mesh=tmesh,
-                                 n_tri_active=nq, with_stats=True)
+                                 n_tri_active=nq, prebuilt=spre,
+                                 tri_prebuilt=tpre, with_stats=True)
         rows.append((f"terrain {ntri} tris / cluster", dt, prim / dt / 1e6))
         rows.append((f"terrain {ntri} tris / cluster (traced)", dt,
                      int(segs) / dt / 1e6))

@@ -316,3 +316,40 @@ def test_square_blocks_depth1_identical(scene200):
     a = np.asarray(render_cluster(scene200, CAM, 0, square_blocks=False, **kw))
     b = np.asarray(render_cluster(scene200, CAM, 0, square_blocks=True, **kw))
     np.testing.assert_array_equal(a, b)
+
+
+def test_prebuilt_clusters_render_identical(scene200):
+    """Passing a prebuilt ClusteredScene must be pixel-identical to the
+    in-call build (same arrays, same kernel)."""
+    pre = build_clusters(scene200, n_active=200)
+    kw = dict(width=96, height=64, spp=2, max_depth=2, interpret=True,
+              n_active=200)
+    a = np.asarray(render_cluster(scene200, CAM, 3, **kw))
+    b = np.asarray(render_cluster(scene200, CAM, 3, prebuilt=pre, **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_cluster_build_cache_identity():
+    """The frame-level memo keys on array identity: same scene arrays hit,
+    new arrays (scene edits) miss, dead entries are evicted."""
+    from tpu_rt.render import frame as F
+
+    F._CLUSTER_CACHE.clear()
+    sc = random_spheres(200, seed=3)
+    calls = []
+
+    def builder(s):
+        calls.append(1)
+        return f"built{len(calls)}"
+
+    key = ("sph", sc.capacity, 200)
+    a = F._cached_clusters(builder, sc, sc.center, key)
+    b = F._cached_clusters(builder, sc, sc.center, key)
+    assert a == b == "built1" and len(calls) == 1
+    sc2 = random_spheres(200, seed=4)  # "edit": new arrays
+    c = F._cached_clusters(builder, sc2, sc2.center, key)
+    assert c == "built2" and len(calls) == 2
+    # same anchor, different quantized count -> rebuild
+    d = F._cached_clusters(builder, sc, sc.center, ("sph", sc.capacity, 512))
+    assert d == "built3"
+    F._CLUSTER_CACHE.clear()

@@ -42,9 +42,10 @@ large scenes, designed around what the hardware can and cannot do:
 
 Estimator: v2 reference semantics, identical to the megakernel
 (PathTracer::trace_ray, raytracer_core.cpp:291-351). Measured (TPU v5e,
-1080p @ 4 spp depth 4, random-spheres field): 235 Mrays/s at N=1k,
-101 Mrays/s at N=10k (112 with fast_sweep), 29 Mrays/s at N=100k —
-vs 3 Mrays/s for the dense megakernel sweep extrapolated to 10k.
+1080p @ 4 spp depth 4, random-spheres field, cluster build cached across
+frames — the ``prebuilt`` path render/frame.py uses): 741 traced Mrays/s
+at N=1k, 377 at N=10k, 88 at N=100k — vs ~3 Mrays/s for the dense
+megakernel sweep extrapolated to 10k.
 
 Triangle meshes cluster the same way (build_tri_clusters): their own
 two-level box hierarchy traversed after the sphere phase, a Moller-Trumbore
@@ -52,7 +53,7 @@ sweep at static SMEM offsets, and the largest-AREA triangles (ground quads)
 in the dense global sweep. The winning triangle's ray-opposing normal is
 encoded into the sphere best-hit planes (c = hit - n, ir = +/-1) so the
 shared shading path needs no extra state. Measured (same workload, terrain
-heightfield): 181 traced Mrays/s at 1k tris, 132 at 10k, 61 at 100k — the
+heightfield): 177 traced Mrays/s at 1k tris, 133 at 10k, 62 at 100k — the
 general lax mesh path needs 1.4 s for a 14-triangle Cornell box.
 """
 
@@ -931,6 +932,8 @@ def render_cluster(
     row_offset=0,
     square_blocks: bool = False,
     enable_dof: bool = False,
+    prebuilt: ClusteredScene | None = None,
+    tri_prebuilt: ClusteredScene | None = None,
 ):
     """Large-scene fused render; returns (height, width, 3) f32 in [0, 1].
 
@@ -953,17 +956,24 @@ def render_cluster(
     axis. RNG streams key off the global tile id, so a sharded frame equals
     the single-device frame stream-for-stream.
     """
-    clustered = build_clusters(scene, cluster_size=cluster_size,
-                               n_global=n_global, n_active=n_active)
+    # The cluster build is camera-independent; callers rendering the same
+    # scene repeatedly (progressive accumulation) pass ``prebuilt`` to skip
+    # it — measured 35 ms/frame at 10k spheres, ~1/3 of the frame. The
+    # near-to-far ordering depends on the camera and is cheap (a permute
+    # of S supers), so it stays per-frame.
+    clustered = prebuilt if prebuilt is not None else build_clusters(
+        scene, cluster_size=cluster_size, n_global=n_global,
+        n_active=n_active)
     clustered = _order_near_to_far(clustered, cam.position)
     S = clustered.n_supers
     G = clustered.n_global
     C = clustered.cluster_size
 
-    if mesh is not None:
-        tri = build_tri_clusters(mesh, cluster_size=cluster_size,
-                                 n_global=n_tri_global,
-                                 n_active=n_tri_active)
+    if mesh is not None or tri_prebuilt is not None:
+        tri = tri_prebuilt if tri_prebuilt is not None else (
+            build_tri_clusters(mesh, cluster_size=cluster_size,
+                               n_global=n_tri_global,
+                               n_active=n_tri_active))
         tri = _order_near_to_far(tri, cam.position)
         ST = tri.n_supers
         GT = tri.n_global

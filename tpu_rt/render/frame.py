@@ -73,6 +73,30 @@ def select_engine(scene, mode="v2", enable_refraction=False, gamma=True,
     return "lax"
 
 
+# Cluster-build memo: the Morton clustering is camera-independent and
+# costs ~35 ms/frame at 10k primitives if redone per batch. JAX arrays are
+# immutable, so identity of the scene's anchor array is a sound cache key —
+# any scene edit produces new arrays and misses naturally. Weakrefs keep
+# dead scenes from pinning device memory; capacity bounds the live set.
+_CLUSTER_CACHE: list = []
+_CLUSTER_CACHE_CAP = 4
+
+
+def _cached_clusters(builder, obj, anchor, key):
+    import weakref
+
+    for ref, k, cl in _CLUSTER_CACHE:
+        if k == key and ref() is anchor:
+            return cl
+    cl = builder(obj)
+    try:
+        _CLUSTER_CACHE.append((weakref.ref(anchor), key, cl))
+        del _CLUSTER_CACHE[:-_CLUSTER_CACHE_CAP]
+    except TypeError:
+        pass  # anchor not weakref-able: skip caching
+    return cl
+
+
 def quantize_count(n: int, capacity: int) -> int:
     """Quantize an active-primitive count to the static kernel bucket.
 
@@ -166,14 +190,24 @@ def render(
             n_tri_active = _quantized_count(mesh.valid, mesh.capacity)
 
     if resolved == "cluster":
-        from ..ops.pallas_cluster import render_cluster
+        from ..ops.pallas_cluster import (
+            build_clusters, build_tri_clusters, render_cluster)
 
+        prebuilt = _cached_clusters(
+            lambda s: build_clusters(s, n_active=n_active),
+            scene, scene.center, ("sph", scene.capacity, n_active))
+        tri_prebuilt = None
+        if mesh is not None:
+            tri_prebuilt = _cached_clusters(
+                lambda m: build_tri_clusters(m, n_active=n_tri_active),
+                mesh, mesh.v0, ("tri", mesh.capacity, n_tri_active))
         return render_cluster(
             scene, cam, seed, width=width, height=height, spp=spp,
             max_depth=max_depth, jitter=jitter,
             enable_refraction=enable_refraction, gamma=gamma,
             with_stats=with_stats, n_active=n_active,
             mesh=mesh, n_tri_active=n_tri_active, enable_dof=enable_dof,
+            prebuilt=prebuilt, tri_prebuilt=tri_prebuilt,
         )
     if resolved == "pallas":
         from ..ops.pallas_megakernel import render_pallas
