@@ -16,11 +16,29 @@ class Denoiser:
     """Denoising algorithms (reference: denoiser.py:4-44)."""
 
     def __init__(self, backend: str = "jax"):
-        self.available_methods = ["bilateral", "nlmeans", "gaussian", "median"]
+        # "joint" (feature-guided bilateral over render AOVs) extends the
+        # reference's four color-only methods; it needs aovs= and has no
+        # cv2 counterpart.
+        self.available_methods = ["bilateral", "nlmeans", "gaussian",
+                                  "median", "joint"]
         self.backend = backend
 
     def denoise(self, image: np.ndarray, method: str = "bilateral",
-                **kwargs) -> np.ndarray:
+                aovs=None, **kwargs) -> np.ndarray:
+        if method == "joint":
+            if aovs is None:
+                raise ValueError(
+                    "method='joint' needs aovs= (tpu_rt.render.aov."
+                    "render_aovs output)")
+            out = post.joint_bilateral(
+                image, aovs["normal"], aovs["depth"],
+                d=kwargs.get("d", 9),
+                sigma_color=kwargs.get("sigma_color", 75),
+                sigma_space=kwargs.get("sigma_space", 75),
+                sigma_normal=kwargs.get("sigma_normal", 0.25),
+                sigma_depth=kwargs.get("sigma_depth", 0.08),
+            )
+            return np.asarray(out, np.float32)
         if self.backend == "cv2":
             return self._denoise_cv2(image, method, **kwargs)
         if method == "bilateral":

@@ -663,8 +663,29 @@ class RayTracerInteraction:
             time.sleep(0.02)
             self.accumulated_image = None
             self.total_samples = 0
+            self._aov_cache = None  # camera/scene changed: features stale
             self.frame_queue = Queue()
             self.start_rendering()
+
+    def _get_aovs(self):
+        """First-hit feature buffers for guided denoising, cached per pose
+        (every camera/scene edit restarts rendering, which invalidates)."""
+        cached = getattr(self, "_aov_cache", None)
+        if cached is not None:
+            return cached
+        from ..render.aov import render_aovs
+
+        cam = self.camera
+        cam.aspect_ratio = self.width / self.height
+        scene_arrays = self.ray_tracer._scene_arrays
+        if scene_arrays is None:
+            return None
+        aovs = render_aovs(scene_arrays, cam.to_params(),
+                           width=self.width, height=self.height,
+                           mesh=self.ray_tracer._mesh)
+        aovs = {k: np.asarray(v) for k, v in aovs.items()}
+        self._aov_cache = aovs
+        return aovs
 
     def start_rendering(self):
         if self.render_state.is_rendering:
@@ -902,7 +923,10 @@ class RayTracerInteraction:
             if self.settings["show_denoisers"]:
                 for method in self.settings["selected_denoisers"]:
                     try:
-                        denoised[method] = self.denoiser.denoise(display, method)
+                        denoised[method] = self.denoiser.denoise(
+                            display, method,
+                            aovs=(self._get_aovs() if method == "joint"
+                                  else None))
                     except Exception as e:  # pragma: no cover
                         print(f"Denoising error: {e}")
 

@@ -119,6 +119,66 @@ def bilateral_filter(image: jnp.ndarray, d: int = 9,
     return _from_u8f(num / den[..., None])
 
 
+@partial(jax.jit, static_argnames=("d",))
+def joint_bilateral(
+    image: jnp.ndarray,
+    normal: jnp.ndarray,
+    depth: jnp.ndarray,
+    d: int = 9,
+    sigma_color: float = 75.0,
+    sigma_space: float = 75.0,
+    sigma_normal: float = 0.25,
+    sigma_depth: float = 0.08,
+):
+    """Feature-guided (joint) bilateral filter over the render AOVs.
+
+    Beyond the reference's color-only bank: weights combine the classic
+    space x color-range terms (cv2 semantics, like bilateral_filter) with
+    first-hit GEOMETRY similarity — normal agreement ``(1 - n.n')`` and
+    relative depth difference — so noise smooths within a surface while
+    silhouette and crease edges stay crisp even when color noise swamps
+    the range term. This is the guided pre-pass modern denoisers (SVGF,
+    OIDN) build on. ``normal``: (h, w, 3) unit vectors (zeros on miss);
+    ``depth``: (h, w) hit distance (any finite value on miss).
+    """
+    radius = d // 2
+    color_coeff = -0.5 / (sigma_color * sigma_color)
+    space_coeff = -0.5 / (sigma_space * sigma_space)
+    normal_coeff = -0.5 / (sigma_normal * sigma_normal)
+    depth_coeff = -0.5 / (sigma_depth * sigma_depth)
+
+    u8 = _to_u8f(image)
+    h, w, _ = u8.shape
+    pad2 = ((radius, radius), (radius, radius))
+    x = jnp.pad(u8, pad2 + ((0, 0),), mode="reflect")
+    nrm = jnp.pad(normal.astype(jnp.float32), pad2 + ((0, 0),),
+                  mode="reflect")
+    dep = jnp.pad(depth.astype(jnp.float32), pad2, mode="reflect")
+    dep_c = dep[radius:radius + h, radius:radius + w]
+    nrm_c = nrm[radius:radius + h, radius:radius + w]
+
+    num = jnp.zeros_like(u8)
+    den = jnp.zeros(u8.shape[:2], u8.dtype)
+    for i in range(-radius, radius + 1):
+        for j in range(-radius, radius + 1):
+            rr = i * i + j * j
+            if rr > radius * radius:
+                continue
+            sl_y = slice(radius + i, radius + i + h)
+            sl_x = slice(radius + j, radius + j + w)
+            shifted = x[sl_y, sl_x]
+            l1 = jnp.sum(jnp.abs(shifted - u8), axis=-1)
+            ndot = jnp.sum(nrm[sl_y, sl_x] * nrm_c, axis=-1)
+            nterm = jnp.square(1.0 - jnp.clip(ndot, -1.0, 1.0))
+            zrel = (dep[sl_y, sl_x] - dep_c) / (jnp.abs(dep_c) + 1e-3)
+            wgt = jnp.exp(rr * space_coeff + (l1 * l1) * color_coeff
+                          + nterm * normal_coeff
+                          + jnp.square(zrel) * depth_coeff)
+            num = num + shifted * wgt[..., None]
+            den = den + wgt
+    return _from_u8f(num / den[..., None])
+
+
 @partial(jax.jit, static_argnames=("template_window_size", "search_window_size"))
 def nlmeans(image: jnp.ndarray, h: float = 10.0,
             template_window_size: int = 7, search_window_size: int = 21):
