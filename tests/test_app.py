@@ -326,3 +326,25 @@ def test_load_mesh_from_obj(rti, tmp_path):
     count = rti.load_mesh_from_obj(p, default_albedo=(0.2, 0.8, 0.3))
     assert count == 12
     assert rti.mesh is not None
+
+
+def test_headless_cli_with_obj_and_dof(tmp_path):
+    """The launcher's headless mode end-to-end with an OBJ mesh and
+    depth-of-field flags."""
+    from tpu_rt.app import run as app_run
+    from tpu_rt.ops.triangle import box
+    from tpu_rt.utils.objio import save_obj
+
+    obj = str(tmp_path / "b.obj")
+    save_obj(obj, box(center=(0, 1, -3), size=(1, 1, 1)))
+    out = str(tmp_path / "r.png")
+    rc = app_run.main([
+        "--headless", "--width", "48", "--height", "36",
+        "--samples", "4", "--batch", "2", "--depth", "2",
+        "--obj", obj, "--aperture", "0.2", "--focus-dist", "5.0",
+        "--output", out, "--timeout", "240",
+    ])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(out) or os.path.exists(out + ".npy")

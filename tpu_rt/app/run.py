@@ -47,6 +47,13 @@ def run_headless(args) -> int:
     rti.settings["max_samples"] = args.samples
     rti.settings["samples_per_batch"] = args.batch
     rti.settings["max_depth"] = args.depth
+    if getattr(args, "obj", None):
+        n = rti.load_mesh_from_obj(args.obj, scale=args.obj_scale)
+        print(f"  loaded {n} triangles from {args.obj}")
+    if getattr(args, "aperture", 0.0) > 0.0:
+        rti.camera.aperture = args.aperture
+        rti.camera.focus_dist = args.focus_dist
+        rti.ray_tracer.set_camera(rti.camera)
     stats = FrameStats()
     rti.start_rendering()
 
@@ -94,6 +101,13 @@ def main(argv=None) -> int:
     parser.add_argument("--depth", type=int, default=4)
     parser.add_argument("--timeout", type=float, default=600.0)
     parser.add_argument("--output", default="render.png")
+    parser.add_argument("--obj", default=None, metavar="PATH",
+                        help="load a Wavefront OBJ mesh into the scene")
+    parser.add_argument("--obj-scale", type=float, default=1.0)
+    parser.add_argument("--aperture", type=float, default=0.0,
+                        help="thin-lens radius for depth of field (0 = off)")
+    parser.add_argument("--focus-dist", type=float, default=0.0,
+                        help="focal-plane distance (0 = look-at target)")
     args = parser.parse_args(argv)
 
     print_platform_report()
