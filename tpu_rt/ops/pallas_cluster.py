@@ -43,9 +43,10 @@ large scenes, designed around what the hardware can and cannot do:
 Estimator: v2 reference semantics, identical to the megakernel
 (PathTracer::trace_ray, raytracer_core.cpp:291-351). Measured (TPU v5e,
 1080p @ 4 spp depth 4, random-spheres field, cluster build cached across
-frames — the ``prebuilt`` path render/frame.py uses): 741 traced Mrays/s
-at N=1k, 377 at N=10k, 88 at N=100k — vs ~3 Mrays/s for the dense
-megakernel sweep extrapolated to 10k.
+frames — the ``prebuilt`` path render/frame.py uses — and the bounce-1
+primary-cone scalar scan): 761 traced Mrays/s at N=1k, 434 at N=10k,
+123 at N=100k — vs ~3 Mrays/s for the dense megakernel sweep
+extrapolated to 10k.
 
 Triangle meshes cluster the same way (build_tri_clusters): their own
 two-level box hierarchy traversed after the sphere phase, a Moller-Trumbore
@@ -53,7 +54,7 @@ sweep at static SMEM offsets, and the largest-AREA triangles (ground quads)
 in the dense global sweep. The winning triangle's ray-opposing normal is
 encoded into the sphere best-hit planes (c = hit - n, ir = +/-1) so the
 shared shading path needs no extra state. Measured (same workload, terrain
-heightfield): 177 traced Mrays/s at 1k tris, 133 at 10k, 62 at 100k — the
+heightfield): 177 traced Mrays/s at 1k tris, 238 at 10k, 105 at 100k — the
 general lax mesh path needs 1.4 s for a 14-triangle Cornell box.
 """
 
@@ -497,6 +498,90 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
         act = jnp.ones(shape, jnp.bool_)
         seg_count = jnp.int32(0)
 
+        # ---- primary-cone hulls (scalar) ----
+        # The tile's PRIMARY rays all leave one origin (or a lens disk)
+        # through one pixel rectangle, so their direction set has a tight
+        # componentwise hull computable from camera scalars alone —
+        # including every sub-pixel jitter position and, under DOF, every
+        # lens sample. The bounce-1 super scan uses a conservative
+        # interval-arithmetic cone-vs-box test on these hulls: pure scalar
+        # SMEM work, no per-box vector slab and no vector->scalar sync —
+        # measured ~5x cheaper per super, and phase A dominates large-N
+        # primary traversal (100k spheres: 32.7 of 47.3 ms at spp 1).
+        u_l = (bj * blk_w) * inv_w
+        u_h = (bj * blk_w + blk_w) * inv_w
+        v_l = (row0 + bi * blk_h).astype(jnp.float32) * inv_h
+        v_h = (row0 + bi * blk_h + blk_h).astype(jnp.float32) * inv_h
+        vx_l = (u_l - 0.5) * 2.0 * tf_aspect
+        vx_h = (u_h - 0.5) * 2.0 * tf_aspect
+        vy_l = (0.5 - v_h) * 2.0 * tf
+        vy_h = (0.5 - v_l) * 2.0 * tf
+        cone_dlo, cone_dhi, cone_inv_lo, cone_inv_hi = [], [], [], []
+        cone_olo, cone_ohi = [], []
+        for fw_c, r_c, up_c, cp_c in ((fwx, rix, upx, cpx),
+                                      (fwy, riy, upy, cpy),
+                                      (fwz, riz, upz, cpz)):
+            a0 = r_c * vx_l
+            a1 = r_c * vx_h
+            b0_ = up_c * vy_l
+            b1_ = up_c * vy_h
+            lo_c = fw_c + jnp.minimum(a0, a1) + jnp.minimum(b0_, b1_)
+            hi_c = fw_c + jnp.maximum(a0, a1) + jnp.maximum(b0_, b1_)
+            cone_dlo.append(lo_c)
+            cone_dhi.append(hi_c)
+            cone_inv_lo.append(
+                1.0 / jnp.where(jnp.abs(lo_c) > 1e-30, lo_c, 1.0))
+            cone_inv_hi.append(
+                1.0 / jnp.where(jnp.abs(hi_c) > 1e-30, hi_c, 1.0))
+            if enable_dof:
+                widen = cam_ref[0, 14] * (jnp.abs(r_c) + jnp.abs(up_c))
+            else:
+                widen = jnp.float32(0.0)
+            cone_olo.append(cp_c - widen)
+            cone_ohi.append(cp_c + widen)
+
+        def _make_cone_scan(sb_ref, n_s, t_cap):
+            """Bounce-1 super scan: scalar interval test, 4-box unroll (the
+            fori iteration overhead would otherwise dominate the cheap
+            body). Conservative: accepts every box any primary ray of this
+            tile could cross, for every jitter/lens sample."""
+            def body(q, _):
+                for k in range(4):
+                    ss = q * 4 + k
+                    ssc = jnp.minimum(ss, n_s - 1)
+                    lo = jnp.float32(1e-3)
+                    hi = t_cap
+                    for ax in range(3):
+                        p0 = sb_ref[ssc, ax] - cone_ohi[ax]
+                        p1 = sb_ref[ssc, 3 + ax] - cone_olo[ax]
+                        dl = cone_dlo[ax]
+                        dh = cone_dhi[ax]
+                        # t-interval where SOME direction in [dl, dh]
+                        # stays inside the axis slab [p0, p1]
+                        big = 3.0e38  # python literal: the kernel must
+                        # not close over host jax arrays (module BIG)
+                        l1 = jnp.where(dl < 0, p1 * cone_inv_lo[ax], -big)
+                        u1 = jnp.where(
+                            dl > 0, p1 * cone_inv_lo[ax],
+                            jnp.where((dl < 0) | (p1 >= 0), big, -big))
+                        l2 = jnp.where(dh > 0, p0 * cone_inv_hi[ax], -big)
+                        u2 = jnp.where(
+                            dh < 0, p0 * cone_inv_hi[ax],
+                            jnp.where((dh > 0) | (p0 <= 0), big, -big))
+                        lo = jnp.maximum(lo, jnp.maximum(l1, l2))
+                        hi = jnp.minimum(hi, jnp.minimum(u1, u2))
+                    ok = (hi >= lo) & (ss < n_s)
+
+                    @pl.when(ok)
+                    def _():
+                        idx = count_ref[0]
+                        slist_ref[idx] = ss
+                        count_ref[0] = idx + 1
+
+                return 0
+
+            return body
+
         def sweep(read, count, best, fast=False):
             """Unrolled sphere sweep updating the best-hit tuple (packed
             attribute layout, _pack_attr_cols); ``read(j, field)`` fetches
@@ -731,6 +816,14 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
 
                 return cluster_visit
 
+            # Bounce 1 scans with the scalar primary-cone test (the
+            # direction hull is only known for primary rays); later
+            # bounces scatter over the sphere and use the per-ray vector
+            # slab scan. t_cap (max best_t after the preceding sweeps)
+            # keeps the ground-sphere pruning the vector scan gets from
+            # its running-t bound.
+            use_cone = depth_idx == 1
+
             @pl.when(jnp.any(act))
             def _():
                 # sphere clusters, then triangle clusters: phases share the
@@ -738,8 +831,14 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                 # (the sphere phase's best_t prunes triangle boxes too)
                 if S:
                     count_ref[0] = 0
-                    jax.lax.fori_loop(
-                        0, S, _make_super_scan(sboxes_ref), 0)
+                    if use_cone:
+                        jax.lax.fori_loop(
+                            0, -(-S // 4),
+                            _make_cone_scan(sboxes_ref, S,
+                                            jnp.max(best_ref[0])), 0)
+                    else:
+                        jax.lax.fori_loop(
+                            0, S, _make_super_scan(sboxes_ref), 0)
                     visits = count_ref[0] * FANOUT
 
                     @pl.when(visits > 0)
@@ -751,8 +850,14 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                         _make_cluster_visit(boxes_ref, _dma, sweep), visits)
                 if ST:
                     count_ref[0] = 0
-                    jax.lax.fori_loop(
-                        0, ST, _make_super_scan(tsboxes_ref), 0)
+                    if use_cone:
+                        jax.lax.fori_loop(
+                            0, -(-ST // 4),
+                            _make_cone_scan(tsboxes_ref, ST,
+                                            jnp.max(best_ref[0])), 0)
+                    else:
+                        jax.lax.fori_loop(
+                            0, ST, _make_super_scan(tsboxes_ref), 0)
                     tvisits = count_ref[0] * FANOUT
 
                     @pl.when(tvisits > 0)
