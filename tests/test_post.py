@@ -68,8 +68,10 @@ def test_nlmeans_reduces_noise(rng_np):
 def test_denoiser_bank_api(noisy):
     bank = Denoiser()
     assert bank.available_methods == ["bilateral", "nlmeans", "gaussian",
-                                      "median"]
+                                      "median", "joint"]
     for m in bank.available_methods:
+        if m == "joint":
+            continue  # needs AOV guides — covered in tests/test_aov.py
         kwargs = {"search_window_size": 9, "template_window_size": 5} if m == "nlmeans" else {}
         out = bank.denoise(noisy, m, **kwargs)
         assert out.shape == noisy.shape
