@@ -75,8 +75,9 @@ def main():
     fcam = jax.device_put(
         tpu_rt.make_camera(position=(0, 6, 40), target=(0, 0, -18),
                            aspect=W / H), dev)
+    # spread scales ~N^(1/3): constant sphere density as the field grows
     for n, spread in ((64, 10.0), (256, 16.0), (1000, 30.0), (4096, 30.0),
-                      (10000, 30.0), (100000, 95.0)):
+                      (10000, 30.0), (100000, 95.0), (1000000, 205.0)):
         sc = jax.device_put(random_spheres(n, seed=1, spread=spread), dev)
         # production path (render/frame.py) caches the camera-independent
         # cluster build across progressive batches; measure the same way
@@ -109,7 +110,8 @@ def main():
     from tpu_rt.ops.pallas_cluster import build_tri_clusters
     from tpu_rt.render.frame import quantize_count
 
-    for grid_n in (24, 72, 226):
+    # n=501 -> 500,000 triangles (the half-million-primitive mesh decade)
+    for grid_n in (24, 72, 226, 501):
         sph, tmesh = terrain_mesh(n=grid_n, seed=1)
         ntri = int(np.asarray(tmesh.valid).sum())
         sph = jax.device_put(sph, dev)

@@ -38,10 +38,13 @@ def test_build_clusters_structure(scene200):
     assert (np.diff(radii) <= 1e-6).all()
     # every clustered primitive's bbox is inside its cluster box
     boxes = np.asarray(cl.boxes)
-    # decode block layout back to rows: (K, rows, 128) -> (K, 16, C) -> rows
+    # decode block layout back to rows: (K, rows+1, 128); the final row is
+    # the cluster's own AABB (read by phase B from the DMA'd block)
     K = cl.n_clusters
     C = cl.cluster_size
-    blocks = np.asarray(cl.attr).reshape(K, 16, C)
+    raw = np.asarray(cl.attr)
+    np.testing.assert_allclose(raw[:, -1, 0:6], boxes[:, 0:6], rtol=1e-6)
+    blocks = raw[:, :-1].reshape(K, 16, C)
     for k in range(K):
         ir = blocks[k, 4]
         live = ir > 0
@@ -61,6 +64,15 @@ def test_build_clusters_structure(scene200):
         if nonempty[s].any():
             assert (child[s, nonempty[s], 0:3] >= sboxes[s, 0:3] - 1e-4).all()
             assert (child[s, nonempty[s], 3:6] <= sboxes[s, 3:6] + 1e-4).all()
+    # super-super boxes contain their supers (third hierarchy level)
+    assert cl.n_supers == cl.n_ss * FANOUT
+    ssb = np.asarray(cl.ss_boxes)
+    sup = sboxes.reshape(cl.n_ss, FANOUT, 8)
+    slive = sup[..., 0] <= sup[..., 3]
+    for s2 in range(cl.n_ss):
+        if slive[s2].any():
+            assert (sup[s2, slive[s2], 0:3] >= ssb[s2, 0:3] - 1e-4).all()
+            assert (sup[s2, slive[s2], 3:6] <= ssb[s2, 3:6] + 1e-4).all()
 
 
 def test_near_to_far_ordering(scene200):
@@ -95,6 +107,71 @@ def test_depth1_bit_identical_to_lax(scene200):
                           height=96, spp=1, max_depth=1, jitter=False,
                           engine="lax"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_depth1_bit_identical_with_third_level(scene200):
+    """Force the third hierarchy level on (cluster_size=8 -> S=80 supers >
+    64) and prove the super-super scan + expand changes traversal order
+    only: depth-1 output is bit-identical to both the lax oracle and the
+    flat-scan (level-3-off) cluster render."""
+    from tpu_rt.core.scenes import random_spheres
+
+    sc = random_spheres(5000, seed=2, spread=25.0)
+    pre = build_clusters(sc, cluster_size=8, n_active=5000)
+    assert pre.n_supers > 64  # threshold in render_cluster
+    a = np.asarray(render_cluster(sc, CAM, 0, width=160, height=96,
+                                  spp=1, max_depth=1, jitter=False,
+                                  interpret=True, cluster_size=8,
+                                  n_active=5000, prebuilt=pre))
+    b = np.asarray(render(sc, CAM, jax.random.key(0), width=160,
+                          height=96, spp=1, max_depth=1, jitter=False,
+                          engine="lax"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_depth1_1m_spheres_on_tpu():
+    """The 1M-primitive decade (VERDICT r2 item 2), two claims:
+
+    (a) the third hierarchy level changes TRAVERSAL ORDER ONLY — level-3
+        on vs off is bit-identical at 1M primitives;
+    (b) vs the lax LBVH oracle (the brute oracle would need an (R, 1M)
+        intersection matrix — 12 GB): zero hit<->background flips (a box-
+        culling bug makes one side MISS) and only a handful of hit-vs-hit
+        winner flips — ulp-level t-ties between overlapping spheres, where
+        the oracle's quadratic (oc-form with /a, ops/bvh.py:sphere_leaf_fn)
+        and the sweep's (a==1 form) legitimately round differently.
+        Measured: 10 tie flips in 15,360 pixels, f64 splits them evenly.
+    TPU-gated: interpret mode at 1M is hours."""
+    tpus = [d for d in jax.devices() if "TPU" in str(d)]
+    if not tpus:
+        pytest.skip("no TPU")
+    from tpu_rt.core.scenes import random_spheres
+
+    with jax.default_device(tpus[0]):
+        sc = jax.device_put(random_spheres(1_000_000, seed=1, spread=205.0),
+                            tpus[0])
+        fcam = tpu_rt.make_camera(position=(0, 6, 40), target=(0, 0, -18),
+                                  aspect=160 / 96)
+        a = np.asarray(render_cluster(sc, fcam, 0, width=160, height=96,
+                                      spp=1, max_depth=1, jitter=False,
+                                      n_active=1_000_000))
+        flat = np.asarray(render_cluster(sc, fcam, 0, width=160, height=96,
+                                         spp=1, max_depth=1, jitter=False,
+                                         n_active=1_000_000,
+                                         use_third_level=False))
+        b = np.asarray(render(sc, fcam, jax.random.key(0), width=160,
+                              height=96, spp=1, max_depth=1, jitter=False,
+                              engine="lax", use_bvh=True))
+    np.testing.assert_array_equal(a, flat)  # claim (a)
+    bg = np.sqrt(np.asarray(sc.background))
+    mm = np.argwhere(np.abs(a - b).max(axis=-1) > 0)
+    assert len(mm) <= 30, f"{len(mm)} mismatches of {a.shape[0] * a.shape[1]}"
+    for py, px in mm:
+        a_bg = np.allclose(a[py, px], bg, atol=1e-4)
+        b_bg = np.allclose(b[py, px], bg, atol=1e-4)
+        assert not (a_bg ^ b_bg), (
+            f"hit<->miss flip at ({px},{py}): cluster={a[py, px]} "
+            f"lax={b[py, px]} — box culling bug, not a t-tie")
 
 
 def test_statistical_agreement_with_lax(scene200):
@@ -185,8 +262,9 @@ def test_build_tri_clusters_structure(terrain):
     cl = build_tri_clusters(mesh, cluster_size=64, n_global=2,
                             n_active=mesh.capacity)
     assert cl.n_clusters == cl.n_supers * FANOUT
+    assert cl.n_supers == cl.n_ss * FANOUT
     K, C = cl.n_clusters, cl.cluster_size
-    blocks = np.asarray(cl.attr).reshape(K, 16, C)
+    blocks = np.asarray(cl.attr)[:, :-1].reshape(K, 16, C)
     boxes = np.asarray(cl.boxes)
     live_total = 0
     for k in range(K):

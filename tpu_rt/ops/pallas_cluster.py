@@ -99,16 +99,29 @@ BIG = jnp.float32(3.0e38)
 class ClusteredScene(NamedTuple):
     """Morton-clustered sphere scene, ready for the cluster kernel.
 
+    Three implicit hierarchy levels (VERDICT r2 item 2 — the next scale
+    decade): K clusters of C primitives, S = K/FANOUT super-boxes, and
+    S2 = S/FANOUT super-super boxes, so the per-bounce scan is
+    O(S2 + crossed) instead of O(S) — at 1M primitives S ~ 2000 would
+    otherwise dominate every frame (the reference's O(log N) stack walk,
+    raytracer_core.cpp:191-273, amortized to three data-independent
+    levels a vector machine can schedule).
+
     glob_attr: (G, 16) the G largest spheres (dense sweep, SMEM)
     boxes:     (K, 8) cluster AABBs [minx,miny,minz,maxx,maxy,maxz,pad,pad]
-    attr:      (K*C, 16) clustered sphere attributes (VMEM table), rows in
-               Morton order; padding rows have inv_r == 0 (never hit)
+               (host-side companion for ordering/tests; the kernel reads
+               each cluster's box from the LAST ROW of its attr block)
+    attr:      (K, C*16/128 + 1, 128) field-major blocks; the extra row
+               carries the cluster AABB in lanes 0-5 so phase B needs no
+               SMEM-resident child-box table; padding rows have
+               inv_r == 0 (never hit)
     """
 
     glob_attr: jnp.ndarray
     boxes: jnp.ndarray        # (S*FANOUT, 8) child cluster AABBs
     super_boxes: jnp.ndarray  # (S, 8) super-cluster AABBs (union of children)
-    attr: jnp.ndarray         # (S*FANOUT, C*16/128, 128) field-major blocks
+    ss_boxes: jnp.ndarray     # (S/FANOUT, 8) super-super AABBs
+    attr: jnp.ndarray         # (S*FANOUT, C*16/128 + 1, 128) blocks + box row
     background: jnp.ndarray
 
     @property
@@ -120,41 +133,67 @@ class ClusteredScene(NamedTuple):
         return self.super_boxes.shape[0]
 
     @property
+    def n_ss(self) -> int:
+        return self.ss_boxes.shape[0]
+
+    @property
     def n_clusters(self) -> int:
         return self.boxes.shape[0]
 
     @property
     def cluster_size(self) -> int:
-        return self.attr.shape[1] * LANES // 16
+        return (self.attr.shape[1] - 1) * LANES // 16
 
 
 def _pack_bf16_pair(a, b):
-    """Pack two f32 arrays into one f32 word as bf16 halves (round to
+    """Pack two f32 arrays into one INT32 word as bf16 halves (round to
     nearest). Shading attributes tolerate bf16 (~0.4% rel); halving the
     attribute columns cuts per-primitive winner selects and best-state
-    planes from 14 to 10 — a measured ~15% sweep saving."""
+    planes from 14 to 10 — a measured ~15% sweep saving.
+
+    The word stays in the INTEGER domain until the whole table is
+    assembled: a pair whose high half is zero (e.g. (eb, -) for an
+    emissive sphere) bitcasts to an f32 DENORMAL, and XLA may lower table
+    assembly ops like concatenate through arithmetic (pad+add) that runs
+    flush-to-zero — measured: jnp.stack of such a word returns 0x0 on
+    XLA:CPU while where/gather preserve it. Building in int32 and
+    bitcasting once at the end (_finish_hierarchy) makes the table
+    immune to FTZ regardless of lowering choices."""
     def to_bf16_bits(x):
         bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
         rounded = bits + 0x7FFF + ((bits >> 16) & 1)
         return rounded >> 16
 
     word = (to_bf16_bits(b) << 16) | to_bf16_bits(a)
-    return jax.lax.bitcast_convert_type(word.astype(jnp.uint32), jnp.float32)
+    return word.astype(jnp.uint32).astype(jnp.int32)
+
+
+def _f32_bits(x):
+    """Bitcast f32 -> int32 (geometry columns join the packed words in the
+    integer domain during table assembly; see _pack_bf16_pair)."""
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _bits_f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
 def _pack_attr_cols(attr):
-    """(N, 16) full-precision attribute rows -> packed layout:
-    cols 0-2 center, 3 radius, 4 inv_r, 5 (ar,ag), 6 (ab,met), 7 (rgh,ior),
-    8 (er,eg), 9 (eb,-), 10-15 pad."""
+    """(N, 16) full-precision attribute rows -> packed layout AS INT32
+    WORDS: cols 0-2 center, 3 radius, 4 inv_r, 5 (ar,ag), 6 (ab,met),
+    7 (rgh,ior), 8 (er,eg), 9 (eb,-), 10-15 pad. The caller bitcasts the
+    finished table back to f32 (_finish_hierarchy)."""
     zeros = jnp.zeros_like(attr[:, 0])
+    zbits = _f32_bits(zeros)
     packed = jnp.stack([
-        attr[:, 0], attr[:, 1], attr[:, 2], attr[:, 3], attr[:, 14],
+        _f32_bits(attr[:, 0]), _f32_bits(attr[:, 1]), _f32_bits(attr[:, 2]),
+        _f32_bits(attr[:, 3]), _f32_bits(attr[:, 14]),
         _pack_bf16_pair(attr[:, 4], attr[:, 5]),
         _pack_bf16_pair(attr[:, 6], attr[:, 7]),
         _pack_bf16_pair(attr[:, 8], attr[:, 12]),
         _pack_bf16_pair(attr[:, 9], attr[:, 10]),
         _pack_bf16_pair(attr[:, 11], zeros),
-        zeros, zeros, zeros, zeros, zeros, zeros,
+        zbits, zbits, zbits, zbits, zbits, zbits,
     ], axis=-1)
     return packed
 
@@ -205,40 +244,71 @@ def build_clusters(
 
     m = n  # sorted list length (tail is padding)
     K = max(1, -(-m // C))
-    K = -(-K // FANOUT) * FANOUT  # pad cluster count to full supers
+    # pad cluster count to full super-supers (FANOUT^2 clusters)
+    K = -(-K // (FANOUT * FANOUT)) * (FANOUT * FANOUT)
     pad = K * C - m
     order_p = jnp.pad(order, (0, pad))  # padded rows point anywhere...
     rest_p = jnp.pad(rest[order], (0, pad))  # ...but are masked here
 
-    attr = attr_full[order_p]
+    rows_f = attr_full[order_p]
     # padding/non-rest rows: inv_r = 0 -> the sweep's `ok` test fails
-    attr = attr.at[:, 14].set(jnp.where(rest_p, attr[:, 14], 0.0))
-    attr = _pack_attr_cols(attr)
+    rows_f = rows_f.at[:, 14].set(jnp.where(rest_p, rows_f[:, 14], 0.0))
+    attr = _pack_attr_cols(rows_f)  # int32 words until _finish_hierarchy
 
-    c = attr[:, 0:3].reshape(K, C, 3)
-    r = attr[:, 3].reshape(K, C, 1)
+    c = rows_f[:, 0:3].reshape(K, C, 3)
+    r = rows_f[:, 3].reshape(K, C, 1)
     ok = rest_p.reshape(K, C, 1)
     lo = jnp.min(jnp.where(ok, c - r, BIG), axis=1)
     hi = jnp.max(jnp.where(ok, c + r, -BIG), axis=1)
+    return _finish_hierarchy(glob_attr, attr, lo, hi, K, C,
+                             scene.background)
+
+
+def _finish_hierarchy(glob_attr, attr, lo, hi, K, C, background):
+    """Shared builder tail: child/super/super-super boxes from per-cluster
+    bounds, and field-major DMA blocks with the cluster box appended as a
+    final row.
+
+    Field-major (K, C*16/128 + 1, 128) DMA blocks: one lane-aligned tile
+    per cluster, copied whole into SMEM scratch so the sweep reads at
+    STATIC offsets (dynamic-index VMEM scalar loads measure ~45 ns each
+    and dominate everything; static SMEM reads are near-free). The last
+    row carries this cluster's AABB in lanes 0-5: phase B tests the child
+    box from the just-DMA'd block, so no O(K) box table rides in SMEM —
+    at 1M primitives K ~ 15k would need ~500 KB of SMEM otherwise.
+    """
     boxes = jnp.concatenate(
         [lo, hi, jnp.zeros((K, 2), jnp.float32)], axis=-1)
-    # Super-cluster boxes: union over each FANOUT-group of children (empty
-    # children carry inverted boxes, so min/max unions stay correct).
+    # Super boxes: union over each FANOUT-group of children; empty children
+    # carry inverted boxes (lo=BIG, hi=-BIG), so min/max unions stay
+    # correct. Same one level up for the super-supers.
     S = K // FANOUT
     s_lo = jnp.min(lo.reshape(S, FANOUT, 3), axis=1)
     s_hi = jnp.max(hi.reshape(S, FANOUT, 3), axis=1)
     super_boxes = jnp.concatenate(
         [s_lo, s_hi, jnp.zeros((S, 2), jnp.float32)], axis=-1)
-    # Field-major (K, C*16/128, 128) DMA blocks: one lane-aligned tile per
-    # cluster, copied whole into SMEM scratch so the sweep reads at STATIC
-    # offsets (dynamic-index VMEM scalar loads measure ~45 ns each and
-    # dominate everything; static SMEM reads are near-free).
+    S2 = S // FANOUT
+    ss_lo = jnp.min(s_lo.reshape(S2, FANOUT, 3), axis=1)
+    ss_hi = jnp.max(s_hi.reshape(S2, FANOUT, 3), axis=1)
+    ss_boxes = jnp.concatenate(
+        [ss_lo, ss_hi, jnp.zeros((S2, 2), jnp.float32)], axis=-1)
+
+    # attr and glob_attr arrive as INT32 word tables (_pack_attr_cols /
+    # _tri_attr_rows): every stack/concatenate below this line must run in
+    # the integer domain, because bf16-pair words with a zero high half are
+    # f32 denormals that an arithmetic-lowered concatenate (pad+add under
+    # FTZ) flushes to zero — the round-2 "emissive loses eb" bug. The
+    # single bitcast back to f32 happens here, after the LAST assembly op.
     attr_blocks = attr.reshape(K, C, 16)
     attr_blocks = jnp.transpose(attr_blocks, (0, 2, 1))  # (K, 16, C)
     attr_blocks = attr_blocks.reshape(K, (C * 16) // LANES, LANES)
-    return ClusteredScene(glob_attr=glob_attr, boxes=boxes,
-                          super_boxes=super_boxes, attr=attr_blocks,
-                          background=scene.background)
+    box_row = jnp.zeros((K, 1, LANES), jnp.float32)
+    box_row = box_row.at[:, 0, 0:6].set(boxes[:, 0:6])
+    attr_blocks = jnp.concatenate([attr_blocks, _f32_bits(box_row)], axis=1)
+    return ClusteredScene(glob_attr=_bits_f32(glob_attr),
+                          attr=_bits_f32(attr_blocks), boxes=boxes,
+                          super_boxes=super_boxes, ss_boxes=ss_boxes,
+                          background=background)
 
 
 def _tri_attr_rows(mesh) -> jnp.ndarray:
@@ -258,8 +328,10 @@ def _tri_attr_rows(mesh) -> jnp.ndarray:
     def pair(a, b):
         return _pack_bf16_pair(a, b)[:, None]
 
+    # int32 assembly; bitcast back to f32 in _finish_hierarchy (see
+    # _pack_bf16_pair on FTZ vs denormal packed words)
     return jnp.concatenate([
-        mesh.v0, e1, e2,
+        _f32_bits(mesh.v0), _f32_bits(e1), _f32_bits(e2),
         pair(mesh.normal[:, 0], mesh.normal[:, 1]),
         pair(mesh.normal[:, 2], z),
         pair(mesh.albedo[:, 0], mesh.albedo[:, 1]),
@@ -302,9 +374,10 @@ def build_tri_clusters(
     glob_idx = jnp.argsort(-area_key)[:G]
     glob_attr = rows_full[glob_idx]
     # invalid rows in the global set must never hit: zero their edges
+    # (rows are int32 words; int 0 bitcasts to f32 0.0)
     glob_ok = valid[glob_idx][:, None]
     glob_attr = glob_attr.at[:, 3:9].set(
-        jnp.where(glob_ok, glob_attr[:, 3:9], 0.0))
+        jnp.where(glob_ok, glob_attr[:, 3:9], 0))
 
     is_global = jnp.zeros((n,), bool).at[glob_idx].set(True)
     rest = valid & ~is_global
@@ -314,34 +387,22 @@ def build_tri_clusters(
 
     m = n
     K = max(1, -(-m // C))
-    K = -(-K // FANOUT) * FANOUT
+    K = -(-K // (FANOUT * FANOUT)) * (FANOUT * FANOUT)
     pad = K * C - m
     order_p = jnp.pad(order, (0, pad))
     rest_p = jnp.pad(rest[order], (0, pad))
 
     attr = rows_full[order_p]
     attr = attr.at[:, 3:9].set(
-        jnp.where(rest_p[:, None], attr[:, 3:9], 0.0))
+        jnp.where(rest_p[:, None], attr[:, 3:9], 0))
 
     lo_rows = tri_min[order_p]
     hi_rows = tri_max[order_p]
     ok = rest_p.reshape(K, C, 1)
     lo = jnp.min(jnp.where(ok, lo_rows.reshape(K, C, 3), BIG), axis=1)
     hi = jnp.max(jnp.where(ok, hi_rows.reshape(K, C, 3), -BIG), axis=1)
-    boxes = jnp.concatenate(
-        [lo, hi, jnp.zeros((K, 2), jnp.float32)], axis=-1)
-    S = K // FANOUT
-    s_lo = jnp.min(lo.reshape(S, FANOUT, 3), axis=1)
-    s_hi = jnp.max(hi.reshape(S, FANOUT, 3), axis=1)
-    super_boxes = jnp.concatenate(
-        [s_lo, s_hi, jnp.zeros((S, 2), jnp.float32)], axis=-1)
-
-    attr_blocks = attr.reshape(K, C, 16)
-    attr_blocks = jnp.transpose(attr_blocks, (0, 2, 1))
-    attr_blocks = attr_blocks.reshape(K, (C * 16) // LANES, LANES)
-    return ClusteredScene(glob_attr=glob_attr, boxes=boxes,
-                          super_boxes=super_boxes, attr=attr_blocks,
-                          background=jnp.zeros((3,), jnp.float32))
+    return _finish_hierarchy(glob_attr, attr, lo, hi, K, C,
+                             jnp.zeros((3,), jnp.float32))
 
 
 def _order_near_to_far(cl: ClusteredScene, cam_pos) -> ClusteredScene:
@@ -360,19 +421,38 @@ def _order_near_to_far(cl: ClusteredScene, cam_pos) -> ClusteredScene:
         # empty boxes (inverted: lo=BIG) sort to the tail
         return jnp.where(boxes[:, 0] >= BIG, jnp.float32(1e30), d)
 
+    # Hierarchical: super-super groups stay contiguous (their box is the
+    # union of their 8 supers), so each level sorts within its parent —
+    # ss groups by distance, supers within each ss, children within each
+    # super. The attr blocks carry their own box row, so permuting blocks
+    # keeps the kernel's child boxes consistent for free.
     S = cl.n_supers
-    s_order = jnp.argsort(dist(cl.super_boxes))
-    boxes_g = cl.boxes.reshape(S, FANOUT, 8)[s_order]
-    attr_g = cl.attr.reshape(S, FANOUT, *cl.attr.shape[1:])[s_order]
-    child_d = jax.vmap(dist)(boxes_g)
-    c_order = jnp.argsort(child_d, axis=-1)
-    boxes_g = jnp.take_along_axis(boxes_g, c_order[..., None], axis=1)
+    S2 = cl.n_ss
+    F = FANOUT
+    ss_order = jnp.argsort(dist(cl.ss_boxes))
+    sup_g = cl.super_boxes.reshape(S2, F, 8)[ss_order]
+    boxes_g = cl.boxes.reshape(S2, F, F, 8)[ss_order]
+    # permute the attr blocks in the integer domain: gathers are data
+    # movement today, but nothing guarantees a lowering never routes f32
+    # through arithmetic, and the blocks contain denormal packed words
+    attr_i = _f32_bits(cl.attr)
+    attr_g = attr_i.reshape(S2, F, F, *attr_i.shape[1:])[ss_order]
+    sup_d = jax.vmap(dist)(sup_g)
+    s_order = jnp.argsort(sup_d, axis=-1)
+    sup_g = jnp.take_along_axis(sup_g, s_order[..., None], axis=1)
+    boxes_g = jnp.take_along_axis(boxes_g, s_order[..., None, None], axis=1)
     attr_g = jnp.take_along_axis(
-        attr_g, c_order[..., None, None], axis=1)
+        attr_g, s_order[..., None, None, None], axis=1)
+    child_d = jax.vmap(jax.vmap(dist))(boxes_g)
+    c_order = jnp.argsort(child_d, axis=-1)
+    boxes_g = jnp.take_along_axis(boxes_g, c_order[..., None], axis=2)
+    attr_g = jnp.take_along_axis(
+        attr_g, c_order[..., None, None], axis=2)
     return cl._replace(
-        super_boxes=cl.super_boxes[s_order],
+        ss_boxes=cl.ss_boxes[ss_order],
+        super_boxes=sup_g.reshape(S, 8),
         boxes=boxes_g.reshape(-1, 8),
-        attr=attr_g.reshape(-1, *cl.attr.shape[1:]),
+        attr=_bits_f32(attr_g.reshape(-1, *attr_i.shape[1:])),
     )
 
 
@@ -380,12 +460,20 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                  cluster_size, jitter=True, enable_refraction=False,
                  gamma=True, rr_start=3, hash_rng=False, fast_sweep=False,
                  n_tri_global=0, n_tri_supers=0, square_blocks=False,
-                 enable_dof=False, reach_scan=False):
+                 enable_dof=False, reach_scan=False, n_ss=0, n_tri_ss=0,
+                 cone_scan=True):
     C = cluster_size
     G = n_global
     S = n_supers
     GT = n_tri_global
     ST = n_tri_supers
+    # Third hierarchy level (VERDICT r2 item 2): when n_ss > 0, phase A
+    # scans the S2 super-super boxes and expands only the crossed ones
+    # into super tests — O(S2 + crossed*FANOUT) scalar work instead of
+    # O(S), which at 1M primitives (S ~ 2000) dominated every frame.
+    S2 = n_ss
+    ST2 = n_tri_ss
+    BR = (C * 16) // LANES  # block row carrying the cluster's own AABB
     # Screen-block geometry: the same 4096 lanes can cover a 64x64 pixel
     # square instead of a 32x128 strip (square_blocks=True). Measured on
     # ground-plane scenes the square is ~20% SLOWER (10k spheres: 141 vs
@@ -397,10 +485,10 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
     blk_w, blk_h = (64, 64) if square_blocks else (LANES, SUBLANES)
     blocks_x = -(-width // blk_w)
 
-    def kernel(cam_ref, glob_ref, sboxes_ref, boxes_ref, bg_ref, seed_ref,
-               attr_ref, tglob_ref, tsboxes_ref, tboxes_ref, tattr_ref,
+    def kernel(cam_ref, glob_ref, ssboxes_ref, sboxes_ref, bg_ref, seed_ref,
+               attr_ref, tglob_ref, tssboxes_ref, tsboxes_ref, tattr_ref,
                out_ref, segs_ref, best_ref, attr_scratch,
-               slist_ref, count_ref, dma_sem):
+               slist_ref, slist2_ref, count_ref, dma_sem):
         t = pl.program_id(0)
         s = pl.program_id(1)
         # seed_ref carries [frame seed, first band row] (row_offset > 0 when
@@ -540,81 +628,51 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
             cone_olo.append(cp_c - widen)
             cone_ohi.append(cp_c + widen)
 
-        def _make_reach_scan(sb_ref, n_s, t_cap, o_lo3, o_hi3):
-            """Bounce>=2 super scan via origin-bounds reachability: a box is
-            skippable iff its Chebyshev distance from the tile's active-
+        def _reach_box_ok(sb_ref, ssc, t_cap, o_lo3, o_hi3):
+            """Bounce>=2 scalar test via origin-bounds reachability: a box
+            is skippable iff its Chebyshev distance from the tile's active-
             origin box exceeds the max running best_t — conservative for
-            any direction (|d_i| <= 1 for unit d); same scalar-only
-            structure as the primary cone scan. MEASURED 2.8-6x SLOWER
+            any direction (|d_i| <= 1 for unit d). MEASURED 2.8-6x SLOWER
             than the per-ray vector scan (10k spheres: 83 vs 30 ms; 100k:
             641 vs 108) — scatter rays are far from isotropic per tile,
             and the per-ray slab + per-ray best_t bound prunes supers the
             reach test cannot. Kept behind reach_scan=False as a recorded
             negative result."""
-            def body(q, _):
-                for k in range(4):
-                    ss = q * 4 + k
-                    ssc = jnp.minimum(ss, n_s - 1)
-                    lo = jnp.float32(1e-3)
-                    for ax in range(3):
-                        p0 = sb_ref[ssc, ax] - o_hi3[ax]
-                        p1 = sb_ref[ssc, 3 + ax] - o_lo3[ax]
-                        # reach needs t >= p0 (box above origin range) or
-                        # t >= -p1 (box below); inside the slab -> 0
-                        lo = jnp.maximum(lo, jnp.maximum(p0, -p1))
-                    ok = (lo <= t_cap) & (ss < n_s)
+            lo = jnp.float32(1e-3)
+            for ax in range(3):
+                p0 = sb_ref[ssc * 8 + ax] - o_hi3[ax]
+                p1 = sb_ref[ssc * 8 + 3 + ax] - o_lo3[ax]
+                # reach needs t >= p0 (box above origin range) or
+                # t >= -p1 (box below); inside the slab -> 0
+                lo = jnp.maximum(lo, jnp.maximum(p0, -p1))
+            return lo <= t_cap
 
-                    @pl.when(ok)
-                    def _():
-                        idx = count_ref[0]
-                        slist_ref[idx] = ss
-                        count_ref[0] = idx + 1
-
-                return 0
-
-            return body
-
-        def _make_cone_scan(sb_ref, n_s, t_cap):
-            """Bounce-1 super scan: scalar interval test, 4-box unroll (the
-            fori iteration overhead would otherwise dominate the cheap
-            body). Conservative: accepts every box any primary ray of this
-            tile could cross, for every jitter/lens sample."""
-            def body(q, _):
-                for k in range(4):
-                    ss = q * 4 + k
-                    ssc = jnp.minimum(ss, n_s - 1)
-                    lo = jnp.float32(1e-3)
-                    hi = t_cap
-                    for ax in range(3):
-                        p0 = sb_ref[ssc, ax] - cone_ohi[ax]
-                        p1 = sb_ref[ssc, 3 + ax] - cone_olo[ax]
-                        dl = cone_dlo[ax]
-                        dh = cone_dhi[ax]
-                        # t-interval where SOME direction in [dl, dh]
-                        # stays inside the axis slab [p0, p1]
-                        big = 3.0e38  # python literal: the kernel must
-                        # not close over host jax arrays (module BIG)
-                        l1 = jnp.where(dl < 0, p1 * cone_inv_lo[ax], -big)
-                        u1 = jnp.where(
-                            dl > 0, p1 * cone_inv_lo[ax],
-                            jnp.where((dl < 0) | (p1 >= 0), big, -big))
-                        l2 = jnp.where(dh > 0, p0 * cone_inv_hi[ax], -big)
-                        u2 = jnp.where(
-                            dh < 0, p0 * cone_inv_hi[ax],
-                            jnp.where((dh > 0) | (p0 <= 0), big, -big))
-                        lo = jnp.maximum(lo, jnp.maximum(l1, l2))
-                        hi = jnp.minimum(hi, jnp.minimum(u1, u2))
-                    ok = (hi >= lo) & (ss < n_s)
-
-                    @pl.when(ok)
-                    def _():
-                        idx = count_ref[0]
-                        slist_ref[idx] = ss
-                        count_ref[0] = idx + 1
-
-                return 0
-
-            return body
+        def _cone_box_ok(sb_ref, ssc, t_cap):
+            """Bounce-1 scalar interval cone-vs-box test. Conservative:
+            accepts every box any primary ray of this tile could cross,
+            for every jitter/lens sample."""
+            lo = jnp.float32(1e-3)
+            hi = t_cap
+            for ax in range(3):
+                p0 = sb_ref[ssc * 8 + ax] - cone_ohi[ax]
+                p1 = sb_ref[ssc * 8 + 3 + ax] - cone_olo[ax]
+                dl = cone_dlo[ax]
+                dh = cone_dhi[ax]
+                # t-interval where SOME direction in [dl, dh]
+                # stays inside the axis slab [p0, p1]
+                big = 3.0e38  # python literal: the kernel must
+                # not close over host jax arrays (module BIG)
+                l1 = jnp.where(dl < 0, p1 * cone_inv_lo[ax], -big)
+                u1 = jnp.where(
+                    dl > 0, p1 * cone_inv_lo[ax],
+                    jnp.where((dl < 0) | (p1 >= 0), big, -big))
+                l2 = jnp.where(dh > 0, p0 * cone_inv_hi[ax], -big)
+                u2 = jnp.where(
+                    dh < 0, p0 * cone_inv_hi[ax],
+                    jnp.where((dh > 0) | (p0 <= 0), big, -big))
+                lo = jnp.maximum(lo, jnp.maximum(l1, l2))
+                hi = jnp.minimum(hi, jnp.minimum(u1, u2))
+            return hi >= lo
 
         def sweep(read, count, best, fast=False):
             """Unrolled sphere sweep updating the best-hit tuple (packed
@@ -781,15 +839,10 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                                      jnp.where(dz_b >= 0, 1e-20, -1e-20))
             act_b = act
 
-            def slab(box_ref, row):
-                """Per-ray box crossing mask, bounded by the running
-                best_t (AABB::intersect, raytracer_core.h:132-153)."""
-                x0 = box_ref[row, 0]
-                y0 = box_ref[row, 1]
-                z0 = box_ref[row, 2]
-                x1 = box_ref[row, 3]
-                y1 = box_ref[row, 4]
-                z1 = box_ref[row, 5]
+            def slab6(x0, y0, z0, x1, y1, z1):
+                """Per-ray box crossing mask from six scalar bounds, bounded
+                by the running best_t (AABB::intersect,
+                raytracer_core.h:132-153)."""
                 tx0 = (x0 - ox_b) * inv_dx
                 tx1 = (x1 - ox_b) * inv_dx
                 ty0 = (y0 - oy_b) * inv_dy
@@ -804,31 +857,28 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                     jnp.minimum(jnp.maximum(tz0, tz1), best_ref[0]))
                 return (exit_ >= enter) & act_b
 
-            # Two-phase traversal. A fori_loop iteration costs ~86 ns of
+            def slab(box_ref, row):
+                # box tables ride SMEM FLATTENED: Mosaic pads each row of a
+                # 2D SMEM array to 512 B (measured: f32[1960,8] allocated
+                # 980 KB of the 1 MB SMEM), while 1D arrays pack tight.
+                return slab6(box_ref[row * 8 + 0], box_ref[row * 8 + 1],
+                             box_ref[row * 8 + 2], box_ref[row * 8 + 3],
+                             box_ref[row * 8 + 4], box_ref[row * 8 + 5])
+
+            # Multi-phase traversal. A fori_loop iteration costs ~86 ns of
             # scalar-core overhead plus ~130 ns per vector->scalar any()
             # sync (measured), so visiting all K clusters per bounce is the
-            # floor that killed the flat loop. Phase A visits only the S
-            # super-boxes and COMPACTS the crossed ones into an SMEM list;
-            # phase B's trip count is crossed_supers * FANOUT — typically a
-            # handful — with the (single-copy) sweep behind a per-cluster
-            # child-box test. Register pressure stays low because the sweep
-            # body exists exactly once.
-            def _make_super_scan(sb_ref):
-                def super_scan(ss, _):
-                    @pl.when(jnp.any(slab(sb_ref, ss)))
-                    def _():
-                        idx = count_ref[0]
-                        slist_ref[idx] = ss
-                        count_ref[0] = idx + 1
-
-                    return 0
-
-                return super_scan
-
-            def _make_cluster_visit(cb_ref, dma, sweep_fn):
+            # floor that killed the flat loop. Phase A COMPACTS the crossed
+            # super-boxes into an SMEM list — scanning the S2 super-supers
+            # first and expanding only crossed ones when the third level is
+            # on (n_ss > 0), else scanning all S supers; phase B's trip
+            # count is crossed_supers * FANOUT — typically a handful — with
+            # the (single-copy) sweep behind a per-cluster child-box test
+            # read from the just-DMA'd block (row BR). Register pressure
+            # stays low because the sweep body exists exactly once.
+            def _make_cluster_visit(dma, sweep_fn):
                 def cluster_visit(i, visits):
                     buf = jax.lax.rem(i, 2)
-                    kk = _visit_kk(i)
                     # consume this buffer's in-flight prefetch, then
                     # immediately prefetch visit i+1 into the other buffer:
                     # the next DMA overlaps this visit's test + sweep
@@ -838,7 +888,12 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                     def _():
                         dma(i + 1, 1 - buf).start()
 
-                    @pl.when(jnp.any(slab(cb_ref, kk)))
+                    crossed = slab6(
+                        attr_scratch[buf, BR, 0], attr_scratch[buf, BR, 1],
+                        attr_scratch[buf, BR, 2], attr_scratch[buf, BR, 3],
+                        attr_scratch[buf, BR, 4], attr_scratch[buf, BR, 5])
+
+                    @pl.when(jnp.any(crossed))
                     def _():
                         best_s = tuple(best_ref[i2] for i2 in range(10))
                         best_s = sweep_fn(_make_read_cluster(buf), C, best_s,
@@ -857,41 +912,93 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
             # per-ray vector slab scan. t_cap (max best_t after the
             # preceding sweeps) keeps the ground-sphere pruning the vector
             # scan gets from its running-t bound.
-            use_cone = depth_idx == 1
+            use_cone = cone_scan and depth_idx == 1
             use_reach = reach_scan and depth_idx > 1
 
-            def _scan(sb_ref, n_s):
+            def _scan(ssb_ref, n_ss_g, sb_ref, n_s_g):
+                """Phase A: compact crossed super indices into slist_ref.
+                With the third level (n_ss_g > 0): scan super-supers into
+                slist2_ref, then test only crossed parents' FANOUT supers."""
                 if use_cone:
-                    jax.lax.fori_loop(
-                        0, -(-n_s // 4),
-                        _make_cone_scan(sb_ref, n_s,
-                                        jnp.max(best_ref[0])), 0)
+                    t_cap = jnp.max(best_ref[0])
+
+                    def test(ref, i):
+                        return _cone_box_ok(ref, i, t_cap)
+
+                    unroll = 4
                 elif use_reach:
                     # masked bounds of the ACTIVE rays' origins (scatter
                     # origins = previous bounce's hit points)
                     def _mm(v, lo_side):
                         fill = 3.0e38 if lo_side else -3.0e38
                         masked = jnp.where(act, v, fill)
-                        return jnp.min(masked) if lo_side else jnp.max(masked)
+                        return (jnp.min(masked) if lo_side
+                                else jnp.max(masked))
 
                     r_olo = [_mm(ox, True), _mm(oy, True), _mm(oz, True)]
                     r_ohi = [_mm(ox, False), _mm(oy, False), _mm(oz, False)]
                     r_tcap = jnp.max(jnp.where(act, best_ref[0], 0.0))
-                    jax.lax.fori_loop(
-                        0, -(-n_s // 4),
-                        _make_reach_scan(sb_ref, n_s, r_tcap,
-                                         r_olo, r_ohi), 0)
+
+                    def test(ref, i):
+                        return _reach_box_ok(ref, i, r_tcap, r_olo, r_ohi)
+
+                    unroll = 4
                 else:
-                    jax.lax.fori_loop(0, n_s, _make_super_scan(sb_ref), 0)
+                    def test(ref, i):
+                        return jnp.any(slab(ref, i))
+
+                    unroll = 1
+
+                def _compact(box_ref, n_boxes, out_ref, slot):
+                    def body(q, _):
+                        for k in range(unroll):
+                            ss = q * unroll + k
+                            if unroll > 1:
+                                ssc = jnp.minimum(ss, n_boxes - 1)
+                                ok = test(box_ref, ssc) & (ss < n_boxes)
+                            else:
+                                ok = test(box_ref, ss)
+
+                            @pl.when(ok)
+                            def _():
+                                idx = count_ref[slot]
+                                out_ref[idx] = ss
+                                count_ref[slot] = idx + 1
+
+                        return 0
+
+                    jax.lax.fori_loop(0, -(-n_boxes // unroll), body, 0)
+
+                count_ref[0] = 0
+                if n_ss_g:
+                    count_ref[1] = 0
+                    _compact(ssb_ref, n_ss_g, slist2_ref, 1)
+
+                    def expand(i, _):
+                        parent = slist2_ref[i]
+                        # static 8-child unroll amortizes the fori overhead
+                        for k in range(FANOUT):
+                            s_idx = parent * FANOUT + k
+
+                            @pl.when(test(sb_ref, s_idx))
+                            def _():
+                                idx = count_ref[0]
+                                slist_ref[idx] = s_idx
+                                count_ref[0] = idx + 1
+
+                        return 0
+
+                    jax.lax.fori_loop(0, count_ref[1], expand, 0)
+                else:
+                    _compact(sb_ref, n_s_g, slist_ref, 0)
 
             @pl.when(jnp.any(act))
             def _():
                 # sphere clusters, then triangle clusters: phases share the
-                # SMEM visit list, DMA scratch and the running best planes
+                # SMEM visit lists, DMA scratch and the running best planes
                 # (the sphere phase's best_t prunes triangle boxes too)
                 if S:
-                    count_ref[0] = 0
-                    _scan(sboxes_ref, S)
+                    _scan(ssboxes_ref, S2, sboxes_ref, S)
                     visits = count_ref[0] * FANOUT
 
                     @pl.when(visits > 0)
@@ -900,10 +1007,9 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
 
                     jax.lax.fori_loop(
                         0, visits,
-                        _make_cluster_visit(boxes_ref, _dma, sweep), visits)
+                        _make_cluster_visit(_dma, sweep), visits)
                 if ST:
-                    count_ref[0] = 0
-                    _scan(tsboxes_ref, ST)
+                    _scan(tssboxes_ref, ST2, tsboxes_ref, ST)
                     tvisits = count_ref[0] * FANOUT
 
                     @pl.when(tvisits > 0)
@@ -912,7 +1018,7 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
 
                     jax.lax.fori_loop(
                         0, tvisits,
-                        _make_cluster_visit(tboxes_ref, _dma_tri, tri_sweep),
+                        _make_cluster_visit(_dma_tri, tri_sweep),
                         tvisits)
 
             (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
@@ -1057,7 +1163,8 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                      "enable_refraction", "gamma", "with_stats", "interpret",
                      "cluster_size", "n_global", "n_active", "fast_sweep",
                      "n_tri_global", "n_tri_active", "rows",
-                     "square_blocks", "enable_dof", "reach_scan"),
+                     "square_blocks", "enable_dof", "reach_scan", "vma",
+                     "use_third_level", "cone_scan"),
 )
 def render_cluster(
     scene: SphereScene,
@@ -1084,8 +1191,11 @@ def render_cluster(
     square_blocks: bool = False,
     enable_dof: bool = False,
     reach_scan: bool = False,
+    cone_scan: bool = True,
     prebuilt: ClusteredScene | None = None,
     tri_prebuilt: ClusteredScene | None = None,
+    vma: tuple[str, ...] | None = None,
+    use_third_level: bool | None = None,
 ):
     """Large-scene fused render; returns (height, width, 3) f32 in [0, 1].
 
@@ -1121,6 +1231,13 @@ def render_cluster(
     G = clustered.n_global
     C = clustered.cluster_size
 
+    # Third hierarchy level: scanning S2 super-supers + expanding crossed
+    # ones only pays off once the flat super scan is the bottleneck;
+    # below ~64 supers (4k primitives at C=64) the flat scan is cheaper.
+    # ``use_third_level`` overrides the size heuristic (benchmarks/debug).
+    third = (S > 64) if use_third_level is None else use_third_level
+    S2 = clustered.n_ss if third else 0
+
     if mesh is not None or tri_prebuilt is not None:
         tri = tri_prebuilt if tri_prebuilt is not None else (
             build_tri_clusters(mesh, cluster_size=cluster_size,
@@ -1129,14 +1246,16 @@ def render_cluster(
         tri = _order_near_to_far(tri, cam.position)
         ST = tri.n_supers
         GT = tri.n_global
-        tglob, tsboxes, tboxes, tattr = (tri.glob_attr, tri.super_boxes,
-                                         tri.boxes, tri.attr)
+        ST2 = tri.n_ss if ((ST > 64) if use_third_level is None
+                           else use_third_level) else 0
+        tglob, tssboxes, tsboxes, tattr = (tri.glob_attr, tri.ss_boxes,
+                                           tri.super_boxes, tri.attr)
     else:
-        ST = GT = 0
+        ST = GT = ST2 = 0
         tglob = jnp.zeros((1, 16), jnp.float32)
+        tssboxes = jnp.zeros((1, 8), jnp.float32)
         tsboxes = jnp.zeros((1, 8), jnp.float32)
-        tboxes = jnp.zeros((1, 8), jnp.float32)
-        tattr = jnp.zeros((1, (C * 16) // LANES, LANES), jnp.float32)
+        tattr = jnp.zeros((1, (C * 16) // LANES + 1, LANES), jnp.float32)
 
     out_rows = height if rows is None else rows
     blk_w, blk_h = (64, 64) if square_blocks else (LANES, SUBLANES)
@@ -1157,43 +1276,59 @@ def render_cluster(
                           fast_sweep=fast_sweep,
                           n_tri_global=GT, n_tri_supers=ST,
                           square_blocks=square_blocks,
-                          enable_dof=enable_dof, reach_scan=reach_scan)
+                          enable_dof=enable_dof, reach_scan=reach_scan,
+                          n_ss=S2, n_tri_ss=ST2, cone_scan=cone_scan)
+
+    # The attribute tables are DMA'd per cluster into SMEM scratch, so they
+    # need not be VMEM-resident: past ~8 MB (>~100k primitives) they live
+    # in HBM/compiler-chosen memory and the double-buffered per-cluster
+    # copies ride the same async-DMA path with higher (hidden) latency.
+    def _table_space(t):
+        return (pltpu.VMEM if t.size * 4 <= 8 * 2 ** 20 else pl.ANY)
+
     out, segs = pl.pallas_call(
         kernel,
         grid=(n_tiles, spp),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
             pl.BlockSpec(memory_space=pltpu.SMEM),   # global attrs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # super-super boxes
             pl.BlockSpec(memory_space=pltpu.SMEM),   # super boxes
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # child cluster boxes
             pl.BlockSpec(memory_space=pltpu.SMEM),   # background
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # cluster attr table
+            pl.BlockSpec(memory_space=_table_space(clustered.attr)),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tri global attrs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri super-super boxes
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tri super boxes
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri cluster boxes
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri attr table
+            pl.BlockSpec(memory_space=_table_space(tattr)),
         ],
         out_specs=(
             pl.BlockSpec((3, 1, SUBLANES, LANES), lambda t, s: (0, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        # ``vma``: when called per-shard inside shard_map(check_vma=True),
+        # the caller names the mesh axes the output varies over so the
+        # sharding type checker can stay on (parallel/mesh.py).
         out_shape=(
-            jax.ShapeDtypeStruct((3, n_tiles, SUBLANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles,), jnp.int32),
+            jax.ShapeDtypeStruct((3, n_tiles, SUBLANES, LANES), jnp.float32,
+                                 vma=None if vma is None else frozenset(vma)),
+            jax.ShapeDtypeStruct((n_tiles,), jnp.int32,
+                                 vma=None if vma is None else frozenset(vma)),
         ),
         scratch_shapes=[
             pltpu.VMEM((10, SUBLANES, LANES), jnp.float32),
-            pltpu.SMEM((2, (C * 16) // LANES, LANES), jnp.float32),
+            pltpu.SMEM((2, (C * 16) // LANES + 1, LANES), jnp.float32),
             pltpu.SMEM((max(S, ST, 1),), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((max(S2, ST2, 1),), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(cam_packed, clustered.glob_attr, clustered.super_boxes,
-      clustered.boxes, bg, seed_arr, clustered.attr,
-      tglob, tsboxes, tboxes, tattr)
+        # box tables flattened to 1D: 2D SMEM arrays pad rows to 512 B
+    )(cam_packed, clustered.glob_attr, clustered.ss_boxes.reshape(-1),
+      clustered.super_boxes.reshape(-1), bg, seed_arr, clustered.attr,
+      tglob, tssboxes.reshape(-1), tsboxes.reshape(-1), tattr)
 
     # reassemble screen blocks -> image (band)
     if square_blocks:
