@@ -249,6 +249,21 @@ def traverse(
     is_leaf = jnp.asarray(is_leaf)
     leaf_slot_arr = jnp.asarray(leaf_slot)
 
+    # Under shard_map(check_vma=True) the while_loop's init carry must
+    # carry the rays' varying-manual-axes type (the body output varies with
+    # the ray; literals type as invariant). Primary-ray origins are the
+    # broadcast camera position — INVARIANT — while directions vary, so take
+    # the union of both and pcast the init scalars outside the vmap.
+    ray_vma = tuple(
+        getattr(jax.typeof(origins), "vma", frozenset())
+        | getattr(jax.typeof(directions), "vma", frozenset()))
+    node_init = jnp.int32(0)
+    t_init = jnp.float32(t_max)
+    slot_init = jnp.int32(-1)
+    if ray_vma:
+        node_init, t_init, slot_init = jax.lax.pcast(
+            (node_init, t_init, slot_init), ray_vma, to="varying")
+
     def one_ray(o, d):
         inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d,
                                 jnp.where(d >= 0, 1e-20, -1e-20))
@@ -285,10 +300,8 @@ def traverse(
             nxt = jnp.where(hit_box & ~leaf, node + 1, skip[node])
             return nxt, cur_t, best_slot
 
-        node0 = jnp.int32(0)
-        t0 = jnp.float32(t_max)
-        s0 = jnp.int32(-1)
-        _, t, slot = jax.lax.while_loop(cond, body, (node0, t0, s0))
+        _, t, slot = jax.lax.while_loop(
+            cond, body, (node_init, t_init, slot_init))
         return t, slot
 
     return jax.vmap(one_ray)(origins, directions)
@@ -322,7 +335,6 @@ def sphere_leaf_fn(scene):
     return leaf_t
 
 
-@partial(jax.jit, static_argnames=())
 def intersect_spheres_bvh(scene, bvh: LBVH, origins, directions):
     """BVH-accelerated closest sphere hit: (t, original_prim_index) per ray.
 

@@ -483,7 +483,7 @@ def _pack_camera(cam: CameraP) -> jnp.ndarray:
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "jitter",
                      "enable_refraction", "gamma", "with_stats", "interpret",
-                     "n_active", "rows", "n_tri_active", "enable_dof"),
+                     "n_active", "rows", "n_tri_active", "enable_dof", "vma"),
 )
 def render_pallas(
     scene: SphereScene,
@@ -504,6 +504,7 @@ def render_pallas(
     mesh=None,
     n_tri_active: int | None = None,
     enable_dof: bool = False,
+    vma: tuple[str, ...] | None = None,
 ):
     """Fused single-chip render; returns (height, width, 3) f32 in [0, 1].
 
@@ -570,9 +571,14 @@ def render_pallas(
             # each program writes its own slot
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        # ``vma``: when called per-shard inside shard_map(check_vma=True),
+        # the caller names the mesh axes the output varies over so the
+        # sharding type checker can stay on (parallel/mesh.py).
         out_shape=(
-            jax.ShapeDtypeStruct((3, n_tiles, SUBLANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles,), jnp.int32),
+            jax.ShapeDtypeStruct((3, n_tiles, SUBLANES, LANES), jnp.float32,
+                                 vma=None if vma is None else frozenset(vma)),
+            jax.ShapeDtypeStruct((n_tiles,), jnp.int32,
+                                 vma=None if vma is None else frozenset(vma)),
         ),
         interpret=interpret,
     )(cam_packed, attr, tri_geo, tri_mat, bg, seed_arr)

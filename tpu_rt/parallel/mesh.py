@@ -64,7 +64,7 @@ def make_mesh(
     jax.jit,
     static_argnames=("mesh", "width", "height", "spp", "max_depth", "mode",
                      "enable_refraction", "gamma", "engine", "n_active",
-                     "interpret", "n_tri_active", "enable_dof"),
+                     "interpret", "n_tri_active", "enable_dof", "use_bvh"),
 )
 def render_sharded(
     scene: SphereScene,
@@ -84,6 +84,7 @@ def render_sharded(
     scene_mesh=None,
     n_tri_active: int | None = None,
     enable_dof: bool = False,
+    use_bvh: bool = False,
 ):
     """Render one frame over the mesh; returns (height, width, 3) f32.
 
@@ -93,9 +94,12 @@ def render_sharded(
     left sharded over 'tile'.
 
     ``engine`` selects the per-shard renderer: "lax" (general), "pallas"
-    (fused megakernel, small scenes), or "cluster" (large scenes; also takes
-    ``scene_mesh`` — a replicated TriangleMesh — and needs the per-device
-    row band to be a multiple of 32).
+    (fused megakernel, small scenes), or "cluster" (large scenes; needs the
+    per-device row band to be a multiple of 32). All three accept
+    ``scene_mesh`` (a replicated TriangleMesh rendered alongside the
+    spheres); the lax engine additionally honors ``use_bvh`` — the single
+    sharded entry point renders everything everywhere, matching the
+    reference's one render() API (binding.cpp:99-101).
     """
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
@@ -147,6 +151,7 @@ def render_sharded(
                 enable_refraction=enable_refraction, gamma=False,
                 n_active=n_active, rows=rows_per, row_offset=row0,
                 interpret=interpret, enable_dof=enable_dof,
+                mesh=mesh_rep, n_tri_active=n_tri_active,
             )
             band = jax.lax.pmean(band, axis_name="sample")
             if gamma:
@@ -174,13 +179,14 @@ def render_sharded(
             color = trace(
                 scene_rep, o, d, k_trace, max_depth=max_depth, mode=mode,
                 enable_refraction=enable_refraction,
+                mesh=mesh_rep, use_bvh=use_bvh,
             )
             return carry + color, None
 
-        # pvary: the accumulator is per-device state; mark it varying over
-        # both mesh axes so the scan carry types line up.
-        acc0 = jax.lax.pvary(jnp.zeros((R, 3), jnp.float32),
-                             ("tile", "sample"))
+        # The accumulator is per-device state; mark it varying over both
+        # mesh axes so the scan carry types line up.
+        acc0 = jax.lax.pcast(jnp.zeros((R, 3), jnp.float32),
+                             ("tile", "sample"), to="varying")
         acc, _ = jax.lax.scan(
             sample_pass, acc0, jnp.arange(spp_per, dtype=jnp.int32),
         )
@@ -194,9 +200,6 @@ def render_sharded(
     operands = (scene, cam, key)
     in_specs = (P(), P(), P())
     if scene_mesh is not None:
-        if engine != "cluster":
-            raise ValueError("scene_mesh: use engine='cluster' (or bake the "
-                             "mesh into the lax path via render())")
         operands += (scene_mesh,)
         in_specs += (P(),)
     out = shard_map(
@@ -204,9 +207,16 @@ def render_sharded(
         mesh=mesh,
         in_specs=in_specs,
         out_specs=P("tile", None, None),
-        # pallas_call's out_shape carries no varying-manual-axes metadata,
-        # so the VMA checker cannot type it; the psum/pmean layering is
-        # identical to the (checked) lax branch.
+        # The sharding type checker cannot cover Pallas kernels in JAX
+        # 0.9.0: under check_vma=True the kernel jaxpr acquires `pvary`
+        # ops, which Mosaic rejects ("Unimplemented primitive in Pallas
+        # TPU lowering ... pvary") and the HLO interpreter rejects too
+        # ("Primitive dynamic_slice requires varying manual axes to
+        # match"), both with ask-to-file-an-issue errors. The engines
+        # already accept a `vma=` out-shape annotation
+        # (ops/pallas_*.py render_*), so flipping this on is a one-line
+        # change once upstream lands pvary lowering. The psum/pmean
+        # layering is identical to the (checked) lax branch.
         check_vma=(engine not in ("pallas", "cluster")),
     )(*operands)
     return out
