@@ -441,9 +441,21 @@ class RayTracer:
                max_depth: int) -> np.ndarray:
         """One progressive batch; flat (h*w*3,) float32 like the v1 binding
         (old/raytracer_core copy.h:262 returns vector<double>)."""
+        img = self.render_device(width, height, samples_per_pixel, max_depth)
+        if img is None:
+            return np.zeros((width * height * 3,), np.float32)
+        return np.asarray(img).reshape(-1)
+
+    def render_device(self, width: int, height: int, samples_per_pixel: int,
+                      max_depth: int):
+        """Same batch as :meth:`render` but returned as the DEVICE-resident
+        (h, w, 3) array (or None for an empty scene) — the interactive loop
+        accumulates and post-processes on device and pulls one stacked
+        display frame per batch (render/display.py), instead of the
+        reference's pull-per-batch (interaction.py:1294-1306)."""
         self.camera.aspect_ratio = width / height
         if self._scene_arrays is None or not self._scene_snapshot.spheres:
-            return np.zeros((width * height * 3,), np.float32)
+            return None
         # host-side seed arithmetic: no device round-trips per batch; the
         # lax engine still gets a properly folded key
         seed = (self._seed_base * 1000003 + self._frame) & 0x7FFFFFFF
@@ -477,7 +489,7 @@ class RayTracer:
             engine=engine,
         )
         self._debug.render_count += 1
-        return np.asarray(img).reshape(-1)
+        return img
 
     def trace_ray(self, ray: Ray, depth: int, max_depth: int) -> Vector3:
         """Single-ray radiance estimate (binding.cpp:105)."""

@@ -356,8 +356,14 @@ class RayTracerInteraction:
         self.render_state = RenderStateManager(width, height)
         self.renderer = PreviewRenderer(width, height, self.camera, self.scene)
 
-        self.accumulated_image: Optional[np.ndarray] = None
+        # The progressive accumulator lives ON DEVICE (self._acc_dev); the
+        # display path tone-maps/enhances/denoises it there and pulls ONE
+        # stacked array per displayed frame (render/display.py). The
+        # ``accumulated_image`` property materializes it to numpy only for
+        # checkpointing/resize/tests.
+        self._acc_dev = None
         self.total_samples = 0
+        self._d2h_last_frame = 0  # device->host pulls in the last display
         # Optional triangle mesh rendered alongside the spheres
         # (beyond-reference; previews and selection stay sphere-based).
         self.mesh = None
@@ -687,6 +693,23 @@ class RayTracerInteraction:
         self._aov_cache = aovs
         return aovs
 
+    @property
+    def accumulated_image(self) -> Optional[np.ndarray]:
+        """Host view of the device accumulator (one pull per ACCESS — the
+        per-frame display path never reads this; it uses _acc_dev)."""
+        if self._acc_dev is None:
+            return None
+        return np.asarray(self._acc_dev)
+
+    @accumulated_image.setter
+    def accumulated_image(self, value):
+        if value is None:
+            self._acc_dev = None
+        else:
+            import jax.numpy as jnp
+
+            self._acc_dev = jnp.asarray(value, jnp.float32)
+
     def start_rendering(self):
         if self.render_state.is_rendering:
             return
@@ -808,32 +831,38 @@ class RayTracerInteraction:
     def _render_worker(self):
         """Progressive batch loop (interaction.py:1285-1340)."""
         try:
+            import jax
+
             while (self.render_state.is_rendering
                    and self.total_samples < self.settings["max_samples"]):
                 start = time.time()
                 with self.render_lock:
-                    result = self.ray_tracer.render(
+                    # device-resident batch: no per-batch host pull (the
+                    # reference reshapes a host vector every batch,
+                    # interaction.py:1294-1306)
+                    batch = self.ray_tracer.render_device(
                         self.width, self.height,
                         self.settings["samples_per_batch"],
                         self.settings["max_depth"],
                     )
-                if result is None or len(result) == 0:
+                if batch is None:
+                    time.sleep(0.05)
                     continue
-                batch = np.asarray(result, np.float32).reshape(
-                    (self.height, self.width, 3))
+                batch = jax.block_until_ready(batch)
                 render_time = time.time() - start
                 n = self.settings["samples_per_batch"]
                 self.frame_stats.record(
                     max(render_time, 1e-9), self.width * self.height * n)
                 if self.total_samples == 0:
-                    self.accumulated_image = batch
+                    self._acc_dev = batch
                     self.total_samples = n
                 else:
+                    from ..render.display import merge_batches
+
                     total_new = self.total_samples + n
-                    self.accumulated_image = (
-                        self.accumulated_image * (self.total_samples / total_new)
-                        + batch * (n / total_new)
-                    )
+                    self._acc_dev = merge_batches(
+                        self._acc_dev, batch,
+                        self.total_samples / total_new, n / total_new)
                     self.total_samples = total_new
                 self._process_frame_for_display(render_time)
                 time.sleep(0.005)
@@ -897,6 +926,7 @@ class RayTracerInteraction:
         """Tone map / preview + denoise + enqueue (interaction.py:1346-1391)."""
         mode = self.render_state.current_mode
         denoised: Dict[str, np.ndarray] = {}
+        self._d2h_last_frame = 0
         if mode == RenderMode.SILHOUETTE:
             display = self.renderer.render_silhouette(
                 self.object_dragger.selected_object_id)
@@ -908,27 +938,40 @@ class RayTracerInteraction:
             enhanced = display
             mode_str = "wireframe"
         else:
-            if self.accumulated_image is None:
+            if self._acc_dev is None:
                 return
-            acc = self.accumulated_image
-            if self._linear:
-                # gamma applied once, at display time, on the correctly
-                # averaged linear radiance
-                acc = np.sqrt(np.clip(acc, 0.0, None))
-                acc = np.clip(acc, 0.0, 1.0)
-            display = self._tone_map(acc, self.settings["exposure"])
-            enhanced = (self._enhance_display(display)
-                        if self.settings["enhance_image"] else display)
+            # One fused device pipeline, ONE host pull (render/display.py):
+            # gamma (linear mode) + tone map + enhance + every stackable
+            # denoiser over the device-resident accumulator.
+            from ..render.display import display_stack
+
+            methods = tuple(
+                m for m in self.settings["selected_denoisers"] if m != "joint"
+            ) if self.settings["show_denoisers"] else ()
+            try:
+                stack = np.asarray(display_stack(
+                    self._acc_dev, self.settings["exposure"],
+                    linear=self._linear,
+                    enhance=bool(self.settings["enhance_image"]),
+                    methods=methods))
+                self._d2h_last_frame = 1
+            except Exception as e:  # pragma: no cover
+                print(f"Display pipeline error: {e}")
+                return
+            display = stack[0]
+            enhanced = stack[1]
+            denoised = dict(zip(methods, stack[2:]))
             mode_str = "raytracing"
-            if self.settings["show_denoisers"]:
-                for method in self.settings["selected_denoisers"]:
-                    try:
-                        denoised[method] = self.denoiser.denoise(
-                            display, method,
-                            aovs=(self._get_aovs() if method == "joint"
-                                  else None))
-                    except Exception as e:  # pragma: no cover
-                        print(f"Denoising error: {e}")
+            if (self.settings["show_denoisers"]
+                    and "joint" in self.settings["selected_denoisers"]):
+                # feature-guided method: needs the cached AOV buffers; its
+                # result is a second (counted) pull only when selected
+                try:
+                    denoised["joint"] = self.denoiser.denoise(
+                        display, "joint", aovs=self._get_aovs())
+                    self._d2h_last_frame += 1
+                except Exception as e:  # pragma: no cover
+                    print(f"Denoising error: {e}")
 
         self.frame_queue.put({
             "display": display,
@@ -938,6 +981,9 @@ class RayTracerInteraction:
             "render_time": render_time,
             "mode": mode_str,
             "is_raytracing": mode == RenderMode.RAYTRACING,
+            # device->host pulls this frame's display path performed
+            # (raytracing mode: 1 fused stack, +1 iff "joint" selected)
+            "d2h": self._d2h_last_frame,
         })
 
     def _handle_all_keys_released(self):
