@@ -124,3 +124,70 @@ def test_rmse_of_means_scales_as_inverse_sqrt_n():
     assert 1.4 < r8 / r32 < 2.8, (r8, r32)
     # absolute sanity: at N=32 the mean is already within ~4.5 sigma bounds
     assert r32 < 0.012, r32
+
+
+# ---------------------------------------------------------------------------
+# Means-level parity for the PRODUCTION engines (VERDICT r2 item 3): the
+# megakernel and cluster (v2) engines vs the lax v2 oracle — which is itself
+# anchored to the C++ reference bit-exactly at depth 1 and stochastically in
+# v1 mode above. Goldens: tools/stochastic_parity.py phase "v2" (N batches of
+# 512 spp, 64x48 depth 4, chained on device).
+# ---------------------------------------------------------------------------
+
+_V2N = 2048
+_V2LAX = os.path.join(GOLDENS, f"tpurt_v2lax_mean_64x48_512spp_d4_N{_V2N}.npy")
+_MEGA = os.path.join(GOLDENS, f"tpurt_mega_mean_64x48_512spp_d4_N{_V2N}.npy")
+_CLUSTER = os.path.join(
+    GOLDENS, f"tpurt_cluster_mean_64x48_512spp_d4_N{_V2N}.npy")
+
+needs_v2_goldens = pytest.mark.skipif(
+    not all(os.path.exists(p) for p in (_V2LAX, _MEGA, _CLUSTER)),
+    reason="v2 engine mean goldens not generated (stochastic_parity.py v2)",
+)
+
+
+@needs_v2_goldens
+@pytest.mark.parametrize("engine_golden", [_MEGA, _CLUSTER],
+                         ids=["megakernel", "cluster"])
+def test_v2_production_engines_rmse_of_means(engine_golden):
+    oracle = np.load(_V2LAX)
+    ours = np.load(engine_golden)
+    rmse = float(np.sqrt(((ours - oracle) ** 2).mean()))
+    assert rmse <= 1e-3, rmse
+    assert abs(float(ours.mean() - oracle.mean())) < 3e-4
+
+
+@needs_v2_goldens
+def test_v2_megakernel_means_scale_as_inverse_sqrt_n():
+    """Live TPU regression: the megakernel's RMSE vs the lax-v2 mean golden
+    tracks sigma*sqrt(1/N + 1/2048) — halving when N quadruples — so the
+    golden cannot go stale silently (mirrors the v1 test above)."""
+    tpus = [d for d in jax.devices() if "TPU" in str(d)]
+    if not tpus:
+        pytest.skip("no TPU: the megakernel needs the hardware PRNG")
+    import jax.numpy as jnp
+
+    from tpu_rt.ops.pallas_megakernel import render_pallas
+
+    oracle = np.load(_V2LAX)
+    cam48 = tpu_rt.make_camera(aspect=64 / 48)
+    scene = jax.device_put(tpu_rt.demo_scene(), tpus[0])
+    STRIDE = 1 << 16
+
+    def mean_of(n, seed0):
+        @jax.jit
+        def chunk(b0):
+            def body(i, acc):
+                return acc + render_pallas(
+                    scene, cam48, (b0 + i) * STRIDE, width=64, height=48,
+                    spp=512, max_depth=4, n_active=9)
+            return jax.lax.fori_loop(0, n, body,
+                                     jnp.zeros((48, 64, 3), jnp.float32))
+        with jax.default_device(tpus[0]):
+            return np.asarray(chunk(jnp.int32(seed0)), np.float64) / n
+
+    r8 = float(np.sqrt(((mean_of(8, 9000) - oracle) ** 2).mean()))
+    r32 = float(np.sqrt(((mean_of(32, 9600) - oracle) ** 2).mean()))
+    assert r32 < r8, (r8, r32)
+    assert 1.4 < r8 / r32 < 2.8, (r8, r32)
+    assert r32 < 0.012, r32

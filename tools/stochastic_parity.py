@@ -96,6 +96,86 @@ def run_tpu(n_batches: int) -> None:
         print(f"RMSE vs {f}: {rmse:.2e}")
 
 
+def run_v2(n_batches: int) -> None:
+    """Means-level parity goldens for the PRODUCTION engines (VERDICT r2
+    item 3): N-batch means of the v2 estimator from all three engines —
+    the lax v2 oracle (itself golden-anchored to the reference at depth 1
+    and v1-anchored stochastically) plus the Pallas megakernel and cluster
+    engines users actually run. tests/test_parity.py asserts pairwise
+    RMSE-of-means <= 1e-3. Batches are chained on device (fori_loop) so
+    N=2048 is seconds, not dispatch-bound minutes."""
+    import jax
+    import jax.numpy as jnp
+
+    import tpu_rt
+    from tpu_rt.ops.pallas_cluster import build_clusters, render_cluster
+    from tpu_rt.ops.pallas_megakernel import render_pallas
+    from tpu_rt.render.frame import render
+
+    dev = jax.devices()[0]
+    scene = jax.device_put(tpu_rt.demo_scene(), dev)
+    cam = jax.device_put(tpu_rt.make_camera(aspect=W / H), dev)
+    zeros = jnp.zeros((H, W, 3), jnp.float32)
+    CH = 128  # batches per dispatch
+    assert n_batches % CH == 0
+    # In-kernel PRNG streams are keyed seed + tile*spp + s; stride seeds
+    # far apart so no two batches share a stream.
+    STRIDE = 1 << 16
+
+    def mean_of(chunk_fn, tag):
+        acc = np.zeros((H, W, 3), np.float64)
+        for c in range(n_batches // CH):
+            acc += np.asarray(chunk_fn(jnp.int32(c * CH)), np.float64)
+        mean = (acc / n_batches).astype(np.float32)
+        np.save(f"{GOLDENS}/tpurt_{tag}_mean_{W}x{H}_{SPP}spp_d{DEPTH}"
+                f"_N{n_batches}.npy", mean)
+        print(f"{tag} mean N={n_batches}: {mean.mean():.5f}")
+        return mean
+
+    @jax.jit
+    def lax_chunk(b0):
+        def body(i, acc):
+            key = jax.random.fold_in(jax.random.key(77), b0 + i)
+            return acc + render(scene, cam, key, width=W, height=H, spp=SPP,
+                                max_depth=DEPTH, mode="v2", engine="lax")
+        return jax.lax.fori_loop(0, CH, body, zeros)
+
+    @jax.jit
+    def mega_chunk(b0):
+        def body(i, acc):
+            return acc + render_pallas(scene, cam, (b0 + i) * STRIDE,
+                                       width=W, height=H, spp=SPP,
+                                       max_depth=DEPTH, n_active=9)
+        return jax.lax.fori_loop(0, CH, body, zeros)
+
+    pre = jax.block_until_ready(build_clusters(scene, n_active=9))
+
+    @jax.jit
+    def cluster_chunk(b0):
+        def body(i, acc):
+            return acc + render_cluster(scene, cam, (b0 + i) * STRIDE,
+                                        width=W, height=H, spp=SPP,
+                                        max_depth=DEPTH, n_active=9,
+                                        prebuilt=pre)
+        return jax.lax.fori_loop(0, CH, body, zeros)
+
+    means = {
+        "v2lax": mean_of(lax_chunk, "v2lax"),
+        "mega": mean_of(mega_chunk, "mega"),
+        "cluster": mean_of(cluster_chunk, "cluster"),
+    }
+    meta_path = f"{GOLDENS}/parity_meta.json"
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+    meta["v2_engines"] = {"w": W, "h": H, "spp": SPP, "depth": DEPTH,
+                          "n_batches": n_batches,
+                          "device": str(dev)}
+    json.dump(meta, open(meta_path, "w"), indent=2)
+    oracle = means["v2lax"]
+    for tag in ("mega", "cluster"):
+        rmse = float(np.sqrt(((means[tag] - oracle) ** 2).mean()))
+        print(f"RMSE-of-means {tag} vs v2lax: {rmse:.2e}")
+
+
 if __name__ == "__main__":
     phase = sys.argv[1] if len(sys.argv) > 1 else "cpp"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
@@ -103,5 +183,7 @@ if __name__ == "__main__":
         run_cpp(n)
     elif phase == "tpu":
         run_tpu(n)
+    elif phase == "v2":
+        run_v2(n)
     else:
         raise SystemExit(f"unknown phase {phase}")
