@@ -32,8 +32,9 @@ def test_build_clusters_structure(scene200):
     cl = build_clusters(scene200, cluster_size=64, n_global=4, n_active=200)
     assert cl.n_clusters == cl.n_supers * FANOUT
     assert cl.cluster_size == 64
-    # globals are the largest spheres (ground first)
-    radii = np.asarray(cl.glob_attr[:, 3])
+    # globals are the largest spheres (ground first); tables are int32
+    # words at rest (denormal-safe) — view them as f32 on the host
+    radii = np.asarray(cl.glob_attr[:, 3]).view(np.float32)
     assert radii[0] == 1000.0
     assert (np.diff(radii) <= 1e-6).all()
     # every clustered primitive's bbox is inside its cluster box
@@ -42,7 +43,7 @@ def test_build_clusters_structure(scene200):
     # the cluster's own AABB (read by phase B from the DMA'd block)
     K = cl.n_clusters
     C = cl.cluster_size
-    raw = np.asarray(cl.attr)
+    raw = np.asarray(cl.attr).view(np.float32)
     np.testing.assert_allclose(raw[:, -1, 0:6], boxes[:, 0:6], rtol=1e-6)
     blocks = raw[:, :-1].reshape(K, 16, C)
     for k in range(K):
@@ -264,7 +265,7 @@ def test_build_tri_clusters_structure(terrain):
     assert cl.n_clusters == cl.n_supers * FANOUT
     assert cl.n_supers == cl.n_ss * FANOUT
     K, C = cl.n_clusters, cl.cluster_size
-    blocks = np.asarray(cl.attr)[:, :-1].reshape(K, 16, C)
+    blocks = np.asarray(cl.attr).view(np.float32)[:, :-1].reshape(K, 16, C)
     boxes = np.asarray(cl.boxes)
     live_total = 0
     for k in range(K):
@@ -405,6 +406,39 @@ def test_prebuilt_clusters_render_identical(scene200):
     a = np.asarray(render_cluster(scene200, CAM, 3, **kw))
     b = np.asarray(render_cluster(scene200, CAM, 3, prebuilt=pre, **kw))
     np.testing.assert_array_equal(a, b)
+
+
+def test_attr_tables_stay_int32_and_survive_closure_capture(scene200):
+    """Regression: the packed attribute tables hold bf16-pair words whose
+    f32 bit patterns are DENORMALS whenever the high half is zero (met=0,
+    the (eb,-) column). An f32-typed table that a caller closure-captures
+    inside jit gets embedded as an f32 literal and every denormal word is
+    flushed to zero (measured on TPU: all emission lost, -25% image mean;
+    tools/stochastic_parity.py's prebuilt cluster_chunk was the victim).
+    The tables must therefore stay int32 at rest, and the exact failure
+    mechanism — jit literal embedding of a captured table — must round-trip
+    every word bit-for-bit."""
+    pre = build_clusters(scene200, n_active=200)
+    assert pre.attr.dtype == jnp.int32, pre.attr.dtype
+    assert pre.glob_attr.dtype == jnp.int32, pre.glob_attr.dtype
+
+    # the demo materials really do produce denormal words (the test is
+    # vacuous if not): some nonzero word's f32 view has a zero exponent
+    words = np.asarray(pre.attr).ravel().view(np.uint32)
+    nonzero = words[words != 0]
+    assert ((nonzero & 0x7F800000) == 0).any(), \
+        "no denormal words left in the table — packing layout changed?"
+
+    @jax.jit
+    def captured_roundtrip():
+        return pre.attr + 0, pre.glob_attr + 0
+
+    a, g = captured_roundtrip()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(pre.attr))
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(pre.glob_attr))
+    # equality of the closure-captured RENDER path is covered by
+    # test_prebuilt_clusters_render_identical (the kernel reads these same
+    # tables through f32 bitcast views)
 
 
 def test_cluster_build_cache_identity():

@@ -115,6 +115,10 @@ class ClusteredScene(NamedTuple):
                carries the cluster AABB in lanes 0-5 so phase B needs no
                SMEM-resident child-box table; padding rows have
                inv_r == 0 (never hit)
+
+    glob_attr and attr are INT32 word tables (f32/bf16-pair bits): the
+    packed words include f32 denormals that float handling could flush
+    (see _pack_bf16_pair); the kernel reads them via Ref.bitcast views.
     """
 
     glob_attr: jnp.ndarray
@@ -151,14 +155,15 @@ def _pack_bf16_pair(a, b):
     attribute columns cuts per-primitive winner selects and best-state
     planes from 14 to 10 — a measured ~15% sweep saving.
 
-    The word stays in the INTEGER domain until the whole table is
-    assembled: a pair whose high half is zero (e.g. (eb, -) for an
-    emissive sphere) bitcasts to an f32 DENORMAL, and XLA may lower table
-    assembly ops like concatenate through arithmetic (pad+add) that runs
-    flush-to-zero — measured: jnp.stack of such a word returns 0x0 on
-    XLA:CPU while where/gather preserve it. Building in int32 and
-    bitcasting once at the end (_finish_hierarchy) makes the table
-    immune to FTZ regardless of lowering choices."""
+    The word lives in the INTEGER domain for the table's whole lifetime:
+    a pair whose high half is zero (e.g. (eb, -) for an emissive sphere,
+    (ab, met) for any diffuse one) bitcasts to an f32 DENORMAL, and any
+    XLA stage that handles the table as float can flush it — arithmetic-
+    lowered concatenates (measured: jnp.stack of such a word returns 0x0
+    on XLA:CPU), and f32 literal embedding when a caller closure-captures
+    a prebuilt table inside jit (measured on TPU: every denormal word
+    zeroed). int32 tables are immune; the kernel reads them through
+    zero-cost Ref.bitcast(f32) views (_finish_hierarchy)."""
     def to_bf16_bits(x):
         bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
         rounded = bits + 0x7FFF + ((bits >> 16) & 1)
@@ -181,8 +186,8 @@ def _bits_f32(x):
 def _pack_attr_cols(attr):
     """(N, 16) full-precision attribute rows -> packed layout AS INT32
     WORDS: cols 0-2 center, 3 radius, 4 inv_r, 5 (ar,ag), 6 (ab,met),
-    7 (rgh,ior), 8 (er,eg), 9 (eb,-), 10-15 pad. The caller bitcasts the
-    finished table back to f32 (_finish_hierarchy)."""
+    7 (rgh,ior), 8 (er,eg), 9 (eb,-), 10-15 pad. Tables stay int32 at
+    rest (see _pack_bf16_pair); the kernel reads f32 views."""
     zeros = jnp.zeros_like(attr[:, 0])
     zbits = _f32_bits(zeros)
     packed = jnp.stack([
@@ -294,19 +299,24 @@ def _finish_hierarchy(glob_attr, attr, lo, hi, K, C, background):
         [ss_lo, ss_hi, jnp.zeros((S2, 2), jnp.float32)], axis=-1)
 
     # attr and glob_attr arrive as INT32 word tables (_pack_attr_cols /
-    # _tri_attr_rows): every stack/concatenate below this line must run in
-    # the integer domain, because bf16-pair words with a zero high half are
-    # f32 denormals that an arithmetic-lowered concatenate (pad+add under
-    # FTZ) flushes to zero — the round-2 "emissive loses eb" bug. The
-    # single bitcast back to f32 happens here, after the LAST assembly op.
+    # _tri_attr_rows) and STAY int32 at rest: bf16-pair words with a zero
+    # high half (met=0, the (eb,-) column, ...) are f32 DENORMALS, and any
+    # XLA stage that treats the table as float data can flush them —
+    # arithmetic-lowered concatenates during the build (the round-2
+    # "emissive loses eb" bug), and, worse, LITERAL EMBEDDING: a caller
+    # that closure-captures a prebuilt ClusteredScene inside an outer jit
+    # turns the table into a compile-time constant, and the f32 literal
+    # path flushes every denormal word (measured: -25% image mean on the
+    # demo scene — all emission lost). Integer tables are immune; the
+    # kernel reinterprets them with zero-cost Ref.bitcast views.
     attr_blocks = attr.reshape(K, C, 16)
     attr_blocks = jnp.transpose(attr_blocks, (0, 2, 1))  # (K, 16, C)
     attr_blocks = attr_blocks.reshape(K, (C * 16) // LANES, LANES)
     box_row = jnp.zeros((K, 1, LANES), jnp.float32)
     box_row = box_row.at[:, 0, 0:6].set(boxes[:, 0:6])
     attr_blocks = jnp.concatenate([attr_blocks, _f32_bits(box_row)], axis=1)
-    return ClusteredScene(glob_attr=_bits_f32(glob_attr),
-                          attr=_bits_f32(attr_blocks), boxes=boxes,
+    return ClusteredScene(glob_attr=glob_attr,
+                          attr=attr_blocks, boxes=boxes,
                           super_boxes=super_boxes, ss_boxes=ss_boxes,
                           background=background)
 
@@ -328,8 +338,8 @@ def _tri_attr_rows(mesh) -> jnp.ndarray:
     def pair(a, b):
         return _pack_bf16_pair(a, b)[:, None]
 
-    # int32 assembly; bitcast back to f32 in _finish_hierarchy (see
-    # _pack_bf16_pair on FTZ vs denormal packed words)
+    # int32 assembly, int32 at rest (see _pack_bf16_pair on FTZ vs
+    # denormal packed words)
     return jnp.concatenate([
         _f32_bits(mesh.v0), _f32_bits(e1), _f32_bits(e2),
         pair(mesh.normal[:, 0], mesh.normal[:, 1]),
@@ -432,10 +442,9 @@ def _order_near_to_far(cl: ClusteredScene, cam_pos) -> ClusteredScene:
     ss_order = jnp.argsort(dist(cl.ss_boxes))
     sup_g = cl.super_boxes.reshape(S2, F, 8)[ss_order]
     boxes_g = cl.boxes.reshape(S2, F, F, 8)[ss_order]
-    # permute the attr blocks in the integer domain: gathers are data
-    # movement today, but nothing guarantees a lowering never routes f32
-    # through arithmetic, and the blocks contain denormal packed words
-    attr_i = _f32_bits(cl.attr)
+    # attr blocks live in the integer domain at rest (_finish_hierarchy):
+    # the gathers below permute int32 words, immune to f32 FTZ
+    attr_i = cl.attr
     attr_g = attr_i.reshape(S2, F, F, *attr_i.shape[1:])[ss_order]
     sup_d = jax.vmap(dist)(sup_g)
     s_order = jnp.argsort(sup_d, axis=-1)
@@ -452,7 +461,7 @@ def _order_near_to_far(cl: ClusteredScene, cam_pos) -> ClusteredScene:
         ss_boxes=cl.ss_boxes[ss_order],
         super_boxes=sup_g.reshape(S, 8),
         boxes=boxes_g.reshape(-1, 8),
-        attr=_bits_f32(attr_g.reshape(-1, *attr_i.shape[1:])),
+        attr=attr_g.reshape(-1, *attr_i.shape[1:]),
     )
 
 
@@ -491,6 +500,13 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                slist_ref, slist2_ref, count_ref, dma_sem):
         t = pl.program_id(0)
         s = pl.program_id(1)
+        # The attribute tables are int32 words at rest (denormal-safe, see
+        # _pack_bf16_pair); all reads go through zero-cost f32 reinterpret
+        # views. The packed bf16-pair columns are *themselves* consumed as
+        # f32 bit patterns (unpacked by plane-level shifts at shading).
+        glob_f = glob_ref.bitcast(jnp.float32)
+        tglob_f = tglob_ref.bitcast(jnp.float32)
+        scratch_f = attr_scratch.bitcast(jnp.float32)
         # seed_ref carries [frame seed, first band row] (row_offset > 0 when
         # rendering a sharded horizontal band of a larger image). Streams
         # are keyed by the GLOBAL tile id so a sharded frame and a
@@ -784,16 +800,16 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                     b_p4)
 
         def _read_glob(j, field):
-            return glob_ref[j, field]
+            return glob_f[j, field]
 
         def _read_tglob(j, field):
-            return tglob_ref[j, field]
+            return tglob_f[j, field]
 
         def _make_read_cluster(buf):
             def _read_cluster(j, field):
                 # field-major block layout (build_clusters)
                 idx = field * C + j
-                return attr_scratch[buf, idx // LANES, idx % LANES]
+                return scratch_f[buf, idx // LANES, idx % LANES]
             return _read_cluster
 
         def _visit_kk(i):
@@ -889,9 +905,9 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                         dma(i + 1, 1 - buf).start()
 
                     crossed = slab6(
-                        attr_scratch[buf, BR, 0], attr_scratch[buf, BR, 1],
-                        attr_scratch[buf, BR, 2], attr_scratch[buf, BR, 3],
-                        attr_scratch[buf, BR, 4], attr_scratch[buf, BR, 5])
+                        scratch_f[buf, BR, 0], scratch_f[buf, BR, 1],
+                        scratch_f[buf, BR, 2], scratch_f[buf, BR, 3],
+                        scratch_f[buf, BR, 4], scratch_f[buf, BR, 5])
 
                     @pl.when(jnp.any(crossed))
                     def _():
@@ -1252,10 +1268,10 @@ def render_cluster(
                                            tri.super_boxes, tri.attr)
     else:
         ST = GT = ST2 = 0
-        tglob = jnp.zeros((1, 16), jnp.float32)
+        tglob = jnp.zeros((1, 16), jnp.int32)
         tssboxes = jnp.zeros((1, 8), jnp.float32)
         tsboxes = jnp.zeros((1, 8), jnp.float32)
-        tattr = jnp.zeros((1, (C * 16) // LANES + 1, LANES), jnp.float32)
+        tattr = jnp.zeros((1, (C * 16) // LANES + 1, LANES), jnp.int32)
 
     out_rows = height if rows is None else rows
     blk_w, blk_h = (64, 64) if square_blocks else (LANES, SUBLANES)
@@ -1318,7 +1334,8 @@ def render_cluster(
         ),
         scratch_shapes=[
             pltpu.VMEM((10, SUBLANES, LANES), jnp.float32),
-            pltpu.SMEM((2, (C * 16) // LANES + 1, LANES), jnp.float32),
+            # attr DMA double-buffer: int32 words like the tables
+            pltpu.SMEM((2, (C * 16) // LANES + 1, LANES), jnp.int32),
             pltpu.SMEM((max(S, ST, 1),), jnp.int32),
             pltpu.SMEM((max(S2, ST2, 1),), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
