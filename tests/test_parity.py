@@ -141,7 +141,7 @@ _CLUSTER = os.path.join(
     GOLDENS, f"tpurt_cluster_mean_64x48_512spp_d4_N{_V2N}.npy")
 
 needs_v2_goldens = pytest.mark.skipif(
-    not all(os.path.exists(p) for p in (_V2LAX, _MEGA, _CLUSTER)),
+    not os.path.exists(_V2LAX),
     reason="v2 engine mean goldens not generated (stochastic_parity.py v2)",
 )
 
@@ -150,6 +150,10 @@ needs_v2_goldens = pytest.mark.skipif(
 @pytest.mark.parametrize("engine_golden", [_MEGA, _CLUSTER],
                          ids=["megakernel", "cluster"])
 def test_v2_production_engines_rmse_of_means(engine_golden):
+    # per-engine skip: each golden regenerates independently (the cluster
+    # golden was rebuilt after the int32-table denormal fix)
+    if not os.path.exists(engine_golden):
+        pytest.skip(f"{os.path.basename(engine_golden)} not generated")
     oracle = np.load(_V2LAX)
     ours = np.load(engine_golden)
     rmse = float(np.sqrt(((ours - oracle) ** 2).mean()))
