@@ -34,9 +34,9 @@ def _best_prior() -> float | None:
     """Perf ratchet: best headline value recorded by any prior round's
     driver run (BENCH_r*.json at the repo root). Round 2's apparent -5%
     'regression' was environment noise (interleaved A/B of the r01 vs r02
-    kernels measured -0.7%); the ratchet makes any real drop loud, and the
-    min-of-N estimator below makes the measurement robust to host/tunnel
-    interference in the first place."""
+    kernels measured -0.7%); the ratchet makes any real drop loud. The
+    comparison is median-vs-median — the same estimator every round — with
+    min-of-N reported alongside for separating chip time from host noise."""
     import glob
     import os
 
@@ -87,11 +87,15 @@ def main() -> None:
         t0 = time.perf_counter()
         _ = float(chained(jnp.int32(1 + k * CHAIN)))
         chain_times.append((time.perf_counter() - t0) / CHAIN)
-    # min-of-N: the chained dispatch is device-bound, so the fastest repeat
-    # is the least-interference estimate of chip time; the median rides
-    # host/tunnel noise (observed spread up to 15% on this tunneled host).
-    frame_s = float(np.min(chain_times))
-    frame_s_median = float(np.median(chain_times))
+    # Headline = median, the SAME estimator prior rounds recorded — the
+    # ratchet below compares this value against BENCH_r*.json, so the
+    # estimator must not change between rounds (a min-of-N headline would
+    # read ~up to 15% high vs a median-recorded prior and mask real drops).
+    # min-of-N is kept as a diagnostic: the chained dispatch is
+    # device-bound, so the fastest repeat is the least-interference
+    # estimate of pure chip time (host/tunnel noise rides on top).
+    frame_s = float(np.median(chain_times))
+    frame_s_min = float(np.min(chain_times))
 
     # single-dispatch latency (includes host->chip round trip)
     lat = []
@@ -161,7 +165,9 @@ def main() -> None:
             "best_prior_round_mrays": best,
             "regression_vs_best_prior_pct": regression_pct,
             "frame_time_ms_steady_state": round(frame_s * 1e3, 2),
-            "frame_time_ms_median": round(frame_s_median * 1e3, 2),
+            "frame_time_ms_min": round(frame_s_min * 1e3, 2),
+            "chip_time_mrays_per_s_min_of_n": round(
+                segments / frame_s_min / 1e6, 1),
             "single_dispatch_latency_ms": round(dispatch_s * 1e3, 2),
             "primary_mrays_per_s": round(primary / frame_s / 1e6, 1),
             "segments_per_frame": segments,

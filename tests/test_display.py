@@ -1,0 +1,80 @@
+"""Fused on-device display pipeline (render/display.py): row semantics,
+single-implementation guarantees vs render/frame.py helpers, and the app
+layer's per-frame error isolation (a failing denoiser stage must not
+freeze the GUI — reference keeps per-method try/except, denoiser.py via
+interaction.py:1366-1383)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_rt.ops import post
+from tpu_rt.render import frame as F
+from tpu_rt.render.display import DISPLAY, ENHANCED, display_stack
+
+
+@pytest.fixture
+def acc(rng_np):
+    return rng_np.uniform(0.0, 1.4, (24, 32, 3)).astype(np.float32)
+
+
+def test_stack_rows_match_frame_helpers(acc):
+    methods = ("gaussian", "median")
+    stack = np.asarray(display_stack(acc, 1.0, methods=methods))
+    assert stack.shape == (2 + len(methods), 24, 32, 3)
+    disp = np.asarray(F.tone_map(jnp.asarray(acc), 1.0))
+    np.testing.assert_allclose(stack[DISPLAY], disp, atol=1e-6)
+    np.testing.assert_allclose(
+        stack[ENHANCED], np.asarray(F.enhance_contrast(jnp.asarray(disp))),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        stack[2], np.asarray(post.gaussian_blur(disp, ksize=5, sigma=1.0)),
+        atol=1e-5)
+    np.testing.assert_allclose(
+        stack[3], np.asarray(post.median_blur(disp, ksize=5)), atol=1e-5)
+
+
+def test_stack_linear_mode_applies_gamma_first(acc):
+    lin = np.asarray(display_stack(acc, 1.0, linear=True))
+    gam = np.clip(np.sqrt(np.maximum(acc, 0.0)), 0.0, 1.0)
+    np.testing.assert_allclose(
+        lin[DISPLAY], np.asarray(F.tone_map(jnp.asarray(gam), 1.0)),
+        atol=1e-6)
+
+
+def test_stack_no_enhance_duplicates_display(acc):
+    stack = np.asarray(display_stack(acc, 2.0, enhance=False))
+    np.testing.assert_array_equal(stack[DISPLAY], stack[ENHANCED])
+
+
+def test_stack_unknown_method_raises(acc):
+    with pytest.raises(ValueError, match="unknown stackable denoiser"):
+        display_stack(acc, 1.0, methods=("nope",))
+
+
+def test_display_error_isolation_still_ships_frame(monkeypatch):
+    """A denoiser stage blowing up mid-session must degrade to the plain
+    tone-mapped frame, not silently drop every subsequent frame."""
+    from tpu_rt.app.interaction import RayTracerInteraction
+    from tpu_rt.render import display as D
+
+    r = RayTracerInteraction(32, 24)
+    r.settings["show_denoisers"] = True
+    r.settings["selected_denoisers"] = ["gaussian"]
+    r._acc_dev = jnp.zeros((24, 32, 3), jnp.float32) + 0.25
+
+    real = D.display_stack
+
+    def flaky(acc, exposure, *, methods=(), **kw):
+        if methods:
+            raise RuntimeError("backend lowering failed")
+        return real(acc, exposure, methods=methods, **kw)
+
+    monkeypatch.setattr(D, "display_stack", flaky)
+    r._process_frame_for_display(0.01, batch_start=0.0)
+    f = r.get_frame()
+    assert f is not None and f["mode"] == "raytracing"
+    assert f["display"].shape == (24, 32, 3)
+    assert f["denoised"] == {}  # failing stages dropped, frame shipped
+    assert f["frame_latency"] is not None

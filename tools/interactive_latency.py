@@ -60,8 +60,11 @@ def main() -> None:
 
     import numpy as np
 
-    # drop the first (compile) frame
-    lat = np.array([f["render_time"] for f in frames[1:]])
+    # drop the first (compile) frame; "frame_latency" is batch start ->
+    # frame enqueued (device render + display pipeline + host pull — what
+    # the user waits for); "render_time" is the device render alone
+    lat = np.array([f["frame_latency"] for f in frames[1:]])
+    render_only = np.array([f["render_time"] for f in frames[1:]])
     d2h = [f["d2h"] for f in frames[1:]]
     out = {
         "metric": "interactive_p50_batch_ms",
@@ -71,7 +74,9 @@ def main() -> None:
             "width": width, "height": height, "spp_per_batch": spp,
             "frames_measured": len(frames) - 1,
             "p90_batch_ms": round(float(np.percentile(lat, 90)) * 1e3, 2),
-            "first_frame_ms": round(frames[0]["render_time"] * 1e3, 1),
+            "p50_device_render_ms": round(
+                float(np.percentile(render_only, 50)) * 1e3, 2),
+            "first_frame_ms": round(frames[0]["frame_latency"] * 1e3, 1),
             "d2h_per_displayed_frame": max(d2h),
             "denoisers": 4,
             "mrays_per_s": round(rt.frame_stats.mrays_per_s, 1),

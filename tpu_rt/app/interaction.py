@@ -853,18 +853,12 @@ class RayTracerInteraction:
                 n = self.settings["samples_per_batch"]
                 self.frame_stats.record(
                     max(render_time, 1e-9), self.width * self.height * n)
-                if self.total_samples == 0:
-                    self._acc_dev = batch
-                    self.total_samples = n
-                else:
-                    from ..render.display import merge_batches
+                from ..render.frame import accumulate
 
-                    total_new = self.total_samples + n
-                    self._acc_dev = merge_batches(
-                        self._acc_dev, batch,
-                        self.total_samples / total_new, n / total_new)
-                    self.total_samples = total_new
-                self._process_frame_for_display(render_time)
+                self._acc_dev, self.total_samples = accumulate(
+                    self._acc_dev, self.total_samples, batch, n)
+                self._process_frame_for_display(render_time,
+                                                batch_start=start)
                 time.sleep(0.005)
         except Exception as e:  # pragma: no cover - defensive, like run.py
             print(f"Rendering error: {e}")
@@ -922,8 +916,14 @@ class RayTracerInteraction:
     # frame packaging
     # ------------------------------------------------------------------
 
-    def _process_frame_for_display(self, render_time: float):
-        """Tone map / preview + denoise + enqueue (interaction.py:1346-1391)."""
+    def _process_frame_for_display(self, render_time: float,
+                                   batch_start: float | None = None):
+        """Tone map / preview + denoise + enqueue (interaction.py:1346-1391).
+
+        ``render_time`` is the device render alone (the reference's
+        semantics); ``batch_start`` additionally stamps the frame with
+        ``frame_latency`` = batch start -> enqueue, covering the display
+        pipeline + denoisers + host pull (what the user actually waits)."""
         mode = self.render_state.current_mode
         denoised: Dict[str, np.ndarray] = {}
         self._d2h_last_frame = 0
@@ -956,8 +956,19 @@ class RayTracerInteraction:
                     methods=methods))
                 self._d2h_last_frame = 1
             except Exception as e:  # pragma: no cover
-                print(f"Display pipeline error: {e}")
-                return
+                # Per-frame error isolation: a failing denoiser stage must
+                # not freeze the GUI on the last good image — retry without
+                # the optional stages and still ship the tone-mapped frame.
+                print(f"Display pipeline error ({methods}): {e}")
+                methods = ()
+                try:
+                    stack = np.asarray(display_stack(
+                        self._acc_dev, self.settings["exposure"],
+                        linear=self._linear, enhance=False, methods=()))
+                    self._d2h_last_frame = 1
+                except Exception as e2:
+                    print(f"Display fallback error: {e2}")
+                    return
             display = stack[0]
             enhanced = stack[1]
             denoised = dict(zip(methods, stack[2:]))
@@ -979,6 +990,10 @@ class RayTracerInteraction:
             "denoised": denoised,
             "samples": self.total_samples,
             "render_time": render_time,
+            # end-to-end: device render + accumulate + fused display
+            # pipeline (denoisers) + the host pull, up to this enqueue
+            "frame_latency": (time.time() - batch_start
+                              if batch_start is not None else None),
             "mode": mode_str,
             "is_raytracing": mode == RenderMode.RAYTRACING,
             # device->host pulls this frame's display path performed
@@ -1009,21 +1024,22 @@ class RayTracerInteraction:
             self.render_state.return_to_previous_mode()
             self._process_frame_for_display(0.016)
 
+    # Host-side mirrors of the reference's display helpers, kept for API
+    # parity; the single implementation lives in render/frame.py (the
+    # interactive path runs it fused on device via render/display.py).
     @staticmethod
     def _tone_map(image: np.ndarray, exposure: float) -> np.ndarray:
         """Reinhard (interaction.py:1435-1439)."""
-        image = image * exposure
-        image = image / (1.0 + image)
-        return np.clip(image, 0.0, 1.0)
+        from ..render.frame import tone_map
+
+        return np.asarray(tone_map(image, exposure))
 
     @staticmethod
     def _enhance_display(image: np.ndarray) -> np.ndarray:
         """Percentile 2-98 stretch (interaction.py:1441-1449)."""
-        lo = np.percentile(image, 2)
-        hi = np.percentile(image, 98)
-        if hi > lo:
-            return np.clip((image - lo) / (hi - lo), 0, 1)
-        return image
+        from ..render.frame import enhance_contrast
+
+        return np.asarray(enhance_contrast(image))
 
     def _notify_gui(self, what: str):
         """Best-effort GUI refresh hooks (interaction.py:867-874 etc.)."""

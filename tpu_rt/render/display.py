@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import post
+from .frame import enhance_contrast, tone_map
 
 #: stack row layout: [display, enhanced, *methods]
 DISPLAY, ENHANCED = 0, 1
@@ -50,18 +51,9 @@ def display_stack(
     img = acc
     if linear:
         img = jnp.clip(jnp.sqrt(jnp.maximum(img, 0.0)), 0.0, 1.0)
-    # Reinhard (reference interaction.py:1435-1439)
-    disp = img * exposure
-    disp = jnp.clip(disp / (1.0 + disp), 0.0, 1.0)
+    disp = tone_map(img, exposure)
     outs = [disp]
-    if enhance:
-        lo = jnp.percentile(disp, 2.0)
-        hi = jnp.percentile(disp, 98.0)
-        enh = jnp.where(hi > lo,
-                        jnp.clip((disp - lo) / (hi - lo), 0.0, 1.0), disp)
-    else:
-        enh = disp
-    outs.append(enh)
+    outs.append(enhance_contrast(disp) if enhance else disp)
     for m in methods:
         if m == "bilateral":
             outs.append(post.bilateral_filter(disp, d=9, sigma_color=75,
@@ -76,10 +68,3 @@ def display_stack(
         else:
             raise ValueError(f"unknown stackable denoiser {m!r}")
     return jnp.stack(outs)
-
-
-@jax.jit
-def merge_batches(acc: jnp.ndarray, batch: jnp.ndarray, w_old, w_new):
-    """Progressive weighted mean on device (reference
-    interaction.py:1311-1325, without the host round-trip)."""
-    return acc * w_old + batch * w_new

@@ -105,8 +105,6 @@ def select_engine(scene, mode="v2", enable_refraction=False, gamma=True,
             and (scene.capacity > 64
                  or (mesh is not None and mesh.capacity > 256))):
         return "cluster"
-    if mode == "v2" and gamma and not _on_tpu(scene):
-        _warn_lax_fallback(scene)
     return "lax"
 
 
@@ -208,6 +206,11 @@ def render(
 
     resolved = select_engine(scene, mode, enable_refraction, gamma, mesh,
                              engine)
+    # Warn (once) only when actually rendering: querying select_engine is
+    # side-effect free, and forced engine= choices are deliberate.
+    if (resolved == "lax" and engine == "auto" and mode == "v2" and gamma
+            and not _on_tpu(scene)):
+        _warn_lax_fallback(scene)
     if resolved in ("pallas", "cluster"):
         if seed is None:
             seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
@@ -335,6 +338,12 @@ def enhance_contrast(image: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(hi > lo, stretched, image)
 
 
+@jax.jit
+def _weighted_merge(acc, batch, w_old, w_new):
+    # one fused device op; weights are traced scalars (no retrace per batch)
+    return acc * w_old + batch * w_new
+
+
 def accumulate(
     accumulated: jnp.ndarray | None,
     total_samples: int,
@@ -345,11 +354,11 @@ def accumulate(
 
     Exactly the reference's accumulation (interaction.py:1311-1325) —
     including its quirk of averaging *post-gamma* batches, which is the
-    behavioral contract the GUI expects.
+    behavioral contract the GUI expects. The single device-side merge for
+    the interactive loop (the accumulator never visits the host).
     """
     if accumulated is None or total_samples == 0:
         return batch, batch_samples
     total_new = total_samples + batch_samples
-    w_old = total_samples / total_new
-    w_new = batch_samples / total_new
-    return accumulated * w_old + batch * w_new, total_new
+    return _weighted_merge(accumulated, batch, total_samples / total_new,
+                           batch_samples / total_new), total_new
