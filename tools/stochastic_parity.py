@@ -63,20 +63,36 @@ def run_cpp(n_batches: int) -> None:
 
 
 def run_tpu(n_batches: int) -> None:
+    """v1-estimator mean of N independent 512-spp batches, batches chained
+    on device (fori_loop over folded keys) — one dispatch per 128 batches
+    instead of one per batch (~25 ms tunnel RTT each made N=4096 a
+    40-minute run; chained it is minutes). Streams are keyed fold_in(
+    key(1000), b): independent draws, which is all the mean requires."""
     import jax
+    import jax.numpy as jnp
 
     import tpu_rt
 
-    scene = tpu_rt.demo_scene()
-    cam = tpu_rt.make_camera(aspect=W / H)
+    dev = jax.devices()[0]
+    scene = jax.device_put(tpu_rt.demo_scene(), dev)
+    cam = jax.device_put(tpu_rt.make_camera(aspect=W / H), dev)
+    CH = 128
+    assert n_batches % CH == 0
+
+    @jax.jit
+    def chunk(b0):
+        def body(i, acc):
+            key = jax.random.fold_in(jax.random.key(1000), b0 + i)
+            return acc + tpu_rt.render(scene, cam, key, width=W, height=H,
+                                       spp=SPP, max_depth=DEPTH, mode="v1",
+                                       engine="lax")
+        return jax.lax.fori_loop(0, CH, body,
+                                 jnp.zeros((H, W, 3), jnp.float32))
+
     acc = np.zeros((H, W, 3), np.float64)
-    for b in range(n_batches):
-        img = tpu_rt.render(scene, cam, jax.random.key(1000 + b), width=W,
-                            height=H, spp=SPP, max_depth=DEPTH, mode="v1",
-                            engine="lax")
-        acc += np.asarray(img, np.float64)
-        if (b + 1) % 64 == 0:
-            print(f"batch {b + 1}/{n_batches}")
+    for c in range(n_batches // CH):
+        acc += np.asarray(chunk(jnp.int32(c * CH)), np.float64)
+        print(f"batch {(c + 1) * CH}/{n_batches}")
     mean = (acc / n_batches).astype(np.float32)
     np.save(f"{GOLDENS}/tpurt_mean_{W}x{H}_{SPP}spp_d{DEPTH}_N{n_batches}.npy",
             mean)
