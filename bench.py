@@ -54,7 +54,42 @@ def _best_prior() -> float | None:
     return best
 
 
+def _preflight_device(timeout_s: int = 180) -> None:
+    """Fail FAST if the device can't initialize, instead of hanging.
+
+    The axon TPU client blocks indefinitely inside PJRT init when the
+    pool/relay is unreachable or the chip grant is stuck (observed: 5+ h).
+    Backend init can't be timed out in-process (a blocking C call), so
+    probe from a subprocess with a hard timeout and exit with a clear
+    message the driver can record."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); "
+             "import jax.numpy as jnp; jnp.zeros(4).block_until_ready()"],
+            timeout=timeout_s, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "traced_mrays_per_s_1080p_4spp_depth4",
+            "value": None, "unit": "Mrays/s", "vs_baseline": None,
+            "error": f"device init exceeded {timeout_s}s — TPU "
+                     "pool/relay unreachable or chip grant stuck; "
+                     "not a framework regression"}))
+        sys.exit(3)
+    except subprocess.CalledProcessError as e:
+        print(json.dumps({
+            "metric": "traced_mrays_per_s_1080p_4spp_depth4",
+            "value": None, "unit": "Mrays/s", "vs_baseline": None,
+            "error": "device init failed: "
+                     + e.stderr.decode(errors="replace")[-400:]}))
+        sys.exit(3)
+
+
 def main() -> None:
+    _preflight_device()
+
     import tpu_rt
     from tpu_rt.ops.pallas_megakernel import render_pallas
     from tpu_rt.render.frame import render
