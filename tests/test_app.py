@@ -53,6 +53,8 @@ def test_progressive_render_to_completion(rti):
     rti.start_rendering()
     frames = drain(rti)
     assert frames and frames[-1].get("done")
+    # noise_target defaults OFF: runs to max_samples, never "converged"
+    assert frames[-1].get("converged") is False
     rt_frames = [f for f in frames if "display" in f]
     assert rt_frames, "no raytracing frames produced"
     last = rt_frames[-1]
@@ -62,6 +64,28 @@ def test_progressive_render_to_completion(rti):
     assert img.shape == (36, 48, 3)
     assert img.max() > 0.05  # scene is lit
     assert last["enhanced"].shape == img.shape
+
+
+def test_noise_target_auto_stops_converged_render():
+    """Beyond-reference progressive auto-stop: with a loose noise target
+    the worker stops as soon as two consecutive batches stop changing the
+    accumulated image, well before max_samples; production serving stops
+    paying for invisible samples."""
+    r = RayTracerInteraction(48, 36)
+    r.settings["max_samples"] = 1024
+    r.settings["samples_per_batch"] = 2
+    r.settings["max_depth"] = 2
+    r.settings["noise_target"] = 0.5  # any scene converges immediately
+    try:
+        r.start_rendering()
+        frames = drain(r, timeout=60.0)
+    finally:
+        r.stop_rendering()
+    assert frames and frames[-1].get("done")
+    assert frames[-1]["converged"] is True
+    rt = [f for f in frames if "display" in f]
+    # stopped after the 2-batch convergence streak, far below max_samples
+    assert rt and rt[-1]["samples"] <= 8, rt[-1]["samples"]
 
 
 def test_camera_keys_switch_to_wireframe_and_back(rti):

@@ -829,9 +829,19 @@ class RayTracerInteraction:
     # ------------------------------------------------------------------
 
     def _render_worker(self):
-        """Progressive batch loop (interaction.py:1285-1340)."""
+        """Progressive batch loop (interaction.py:1285-1340).
+
+        Beyond-reference: when ``settings["noise_target"] > 0``, the loop
+        auto-stops once the accumulated image's mean absolute change per
+        batch stays below the target for two consecutive batches — the
+        image has converged and further samples are invisible. Costs one
+        device scalar pull per batch, only while the feature is on."""
+        self._converged = False
+        prev_acc = None
+        conv_streak = 0
         try:
             import jax
+            import jax.numpy as jnp
 
             while (self.render_state.is_rendering
                    and self.total_samples < self.settings["max_samples"]):
@@ -859,13 +869,24 @@ class RayTracerInteraction:
                     self._acc_dev, self.total_samples, batch, n)
                 self._process_frame_for_display(render_time,
                                                 batch_start=start)
+                nt = float(self.settings["noise_target"]
+                           if "noise_target" in self.settings else 0.0)
+                if nt > 0.0:
+                    if prev_acc is not None:
+                        delta = float(jnp.mean(
+                            jnp.abs(self._acc_dev - prev_acc)))
+                        conv_streak = conv_streak + 1 if delta < nt else 0
+                        if conv_streak >= 2:
+                            self._converged = True
+                            break
+                    prev_acc = self._acc_dev
                 time.sleep(0.005)
         except Exception as e:  # pragma: no cover - defensive, like run.py
             print(f"Rendering error: {e}")
             import traceback
 
             traceback.print_exc()
-        self.frame_queue.put({"done": True})
+        self.frame_queue.put({"done": True, "converged": self._converged})
         self.render_state.is_rendering = False
 
     def _camera_move_worker(self):

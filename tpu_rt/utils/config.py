@@ -28,6 +28,12 @@ class RenderSettings:
     move_speed: float = 0.3
     camera_move_speed: float = 0.1
     camera_rotate_speed: float = 0.5
+    # Beyond-reference: progressive auto-stop. When > 0, the render worker
+    # stops refining once the accumulated image's mean absolute change per
+    # batch drops below this for two consecutive batches (converged) —
+    # production serving stops paying for invisible samples. 0.0 = off
+    # (the reference always runs to max_samples).
+    noise_target: float = 0.0
 
     # GUI slider ranges (gui.py:167-245): clamp on assignment
     _RANGES = {
@@ -35,6 +41,7 @@ class RenderSettings:
         "samples_per_batch": (1, 64),
         "max_depth": (1, 32),
         "exposure": (0.1, 5.0),
+        "noise_target": (0.0, 1.0),
     }
 
     def __post_init__(self):
