@@ -372,3 +372,17 @@ def test_headless_cli_with_obj_and_dof(tmp_path):
     import os
 
     assert os.path.exists(out) or os.path.exists(out + ".npy")
+
+
+def test_nee_setting_flows_to_renderer(rti):
+    """The beyond-reference `nee` knob (utils/config.py) must reach the
+    estimator: the worker syncs it per batch and NEE forces the lax
+    engine (ops/integrator.py nee=True)."""
+    rti.settings["nee"] = True
+    rti.start_rendering()
+    frames = drain(rti, timeout=120.0)
+    assert frames and frames[-1].get("done")
+    assert rti.ray_tracer._nee is True
+    assert rti.ray_tracer._last_engine == "lax"
+    rt_frames = [f for f in frames if "display" in f]
+    assert rt_frames and np.isfinite(rt_frames[-1]["display"]).all()

@@ -1,0 +1,159 @@
+"""Next-event-estimation tests: unbiasedness vs the matching brute-force
+path tracer, variance reduction, occlusion, and API guards.
+
+NEE (ops/integrator.py, nee=True) is defined against the EXACT
+cosine/Lambertian sampler (diffuse_sampling="cosine"); that brute-force
+estimator is the oracle here — both are unbiased for the same transport, so
+their means must agree while NEE's variance collapses. (The reference has no
+counterpart: its estimator only finds lights by chance,
+cpp_raytracer/raytracer_core.cpp:306-312.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_rt.core.types import make_camera, make_scene
+from tpu_rt.ops.integrator import trace
+from tpu_rt.render.frame import render
+
+W, H, SPP, DEPTH = 48, 36, 32, 4
+
+
+def nee_scene(light=True, blocker=False, background=(0.0, 0.0, 0.0)):
+    """Ground + diffuse ball + rough metal ball + one small bright light."""
+    centers = [(0, -100.5, -3), (0, 0.2, -3), (1.2, 0.2, -3)]
+    radii = [100.0, 0.7, 0.5]
+    albedos = [(0.6, 0.6, 0.6), (0.7, 0.3, 0.3), (0.8, 0.8, 0.4)]
+    metallics = [0.0, 0.0, 1.0]
+    roughnesses = [0.5, 0.5, 0.4]
+    emissions = [(0, 0, 0), (0, 0, 0), (0, 0, 0)]
+    if light:
+        centers.append((-1.0, 2.5, -2.5))
+        radii.append(0.35)
+        albedos.append((1.0, 1.0, 1.0))
+        metallics.append(0.0)
+        roughnesses.append(0.0)
+        emissions.append((14.0, 12.0, 10.0))
+    if blocker:
+        # Opaque diffuse sphere between the light and the diffuse ball.
+        centers.append((-0.5, 1.3, -2.75))
+        radii.append(0.45)
+        albedos.append((0.2, 0.2, 0.2))
+        metallics.append(0.0)
+        roughnesses.append(0.5)
+        emissions.append((0, 0, 0))
+    return make_scene(centers, radii, albedos, metallics, roughnesses,
+                      emissions, background=background)
+
+
+def frames(scene, n_frames, seed0=0, **kw):
+    cam = make_camera(position=(0, 1.0, 2.0), target=(0, 0.2, -3),
+                      aspect=W / H)
+    out = []
+    for k in range(n_frames):
+        img = render(scene, cam, jax.random.key(seed0 + k), width=W,
+                     height=H, spp=SPP, max_depth=DEPTH, gamma=False,
+                     engine="lax", **kw)
+        out.append(np.asarray(img))
+    return np.stack(out)
+
+
+def test_nee_mean_matches_cosine_pt():
+    """Both estimators are unbiased for the same transport: the mean images
+    must agree within the (deterministic, fixed-seed) Monte-Carlo error."""
+    scene = nee_scene()
+    K = 48
+    pt = frames(scene, K, seed0=100, diffuse_sampling="cosine")
+    ne = frames(scene, K, seed0=900, nee=True)
+    mean_pt, mean_ne = pt.mean(0), ne.mean(0)
+    # combined standard error of the per-pixel mean difference
+    se = np.sqrt(pt.var(0) / K + ne.var(0) / K)
+    rmse = float(np.sqrt(np.mean((mean_pt - mean_ne) ** 2)))
+    rmse_se = float(np.sqrt(np.mean(se**2)))
+    # if means agree, rmse concentrates around rmse_se; 2x covers the tail
+    assert rmse <= 2.0 * rmse_se, (rmse, rmse_se)
+    # and the overall energy must match tightly (image-mean difference)
+    assert abs(mean_pt.mean() - mean_ne.mean()) <= 4e-3, (
+        mean_pt.mean(), mean_ne.mean())
+
+
+def test_nee_reduces_variance():
+    scene = nee_scene()
+    K = 16
+    pt = frames(scene, K, seed0=0, diffuse_sampling="cosine")
+    ne = frames(scene, K, seed0=0, nee=True)
+    v_pt = float(pt.var(0).mean())
+    v_ne = float(ne.var(0).mean())
+    # the light is small: chance hits are rare, shadow rays are not
+    assert v_ne < 0.35 * v_pt, (v_ne, v_pt)
+
+
+def test_nee_without_lights_is_bitwise_cosine_pt():
+    """With no emissive spheres the NEE machinery must be a no-op: the
+    scatter/RR key streams are untouched, so outputs are bit-identical."""
+    scene = nee_scene(light=False, background=(0.3, 0.4, 0.5))
+    cam = make_camera(aspect=4 / 3)
+    R = 64
+    u = jnp.linspace(0.1, 0.9, R)
+    o = jnp.broadcast_to(cam.position, (R, 3))
+    d = jnp.stack([u - 0.5, -jnp.ones(R) * 0.4, -jnp.ones(R)], axis=-1)
+    a = trace(scene, o, d, jax.random.key(3), max_depth=4, nee=True)
+    b = trace(scene, o, d, jax.random.key(3), max_depth=4,
+              diffuse_sampling="cosine")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nee_respects_occlusion():
+    """A blocker between light and receiver must kill the direct term."""
+    lit = frames(nee_scene(), 4, seed0=5, nee=True).mean(0)
+    shadowed = frames(nee_scene(blocker=True), 4, seed0=5, nee=True).mean(0)
+    # the diffuse ball occupies the image center; its lit-side brightness
+    # must drop sharply under the blocker
+    cy, cx = H // 2, W // 2
+    lit_patch = lit[cy - 4:cy + 4, cx - 8:cx].mean()
+    sh_patch = shadowed[cy - 4:cy + 4, cx - 8:cx].mean()
+    assert sh_patch < 0.55 * lit_patch, (sh_patch, lit_patch)
+
+
+def test_nee_deterministic():
+    scene = nee_scene()
+    a = frames(scene, 1, seed0=7, nee=True)
+    b = frames(scene, 1, seed0=7, nee=True)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_nee_requires_v2():
+    scene = nee_scene()
+    o = jnp.zeros((4, 3))
+    d = jnp.tile(jnp.array([0.0, 0.0, -1.0]), (4, 1))
+    with pytest.raises(ValueError, match="nee"):
+        trace(scene, o, d, jax.random.key(0), mode="v1", nee=True)
+
+
+def test_nee_rejects_pallas_engines():
+    scene = nee_scene()
+    cam = make_camera(aspect=W / H)
+    with pytest.raises(ValueError, match="lax"):
+        render(scene, cam, jax.random.key(0), width=W, height=H, spp=1,
+               engine="pallas", nee=True)
+
+
+def test_nee_with_mesh_occluder():
+    """Shadow rays must see triangle geometry too."""
+    from tpu_rt.core.types import sphere_bucket
+    from tpu_rt.ops.triangle import make_mesh
+
+    scene = nee_scene()
+    # a quad between the light (-1, 2.5, -2.5) and the diffuse ball
+    v = np.array([[-1.6, 1.4, -2.8], [0.2, 1.4, -2.8], [0.2, 1.4, -2.2],
+                  [-1.6, 1.4, -2.2]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mesh = make_mesh(v, f, albedo=(0.2, 0.2, 0.2))
+    lit = frames(scene, 4, seed0=11, nee=True).mean(0)
+    sh = frames(scene, 4, seed0=11, nee=True, mesh=mesh).mean(0)
+    cy, cx = H // 2, W // 2
+    lit_patch = lit[cy - 4:cy + 4, cx - 8:cx].mean()
+    sh_patch = sh[cy - 4:cy + 4, cx - 8:cx].mean()
+    assert sh_patch < 0.7 * lit_patch, (sh_patch, lit_patch)

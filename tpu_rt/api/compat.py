@@ -345,7 +345,8 @@ class RayTracer:
     """
 
     def __init__(self, seed: int = 0, mode: str = "v2",
-                 enable_refraction: bool = False, linear: bool = False):
+                 enable_refraction: bool = False, linear: bool = False,
+                 nee: bool = False):
         self.camera = Camera()
         self.camera.position = Vector3(0, 2, 5)
         self.camera.target = Vector3(0, 0, -1)
@@ -357,6 +358,10 @@ class RayTracer:
         self._frame = 0
         self._mode = mode
         self._enable_refraction = enable_refraction
+        # Beyond-reference: next-event estimation (direct light via shadow
+        # rays — ops/integrator.py). Lax-engine estimator; forces the
+        # general pipeline when on.
+        self._nee = nee
         # linear=True returns pre-gamma radiance batches (for the app's
         # correct-averaging mode); False keeps the reference's sqrt-gamma'd
         # output contract
@@ -470,9 +475,9 @@ class RayTracer:
         # Resolve the engine ONCE and force it through render(), so the
         # observability fields can never diverge from the engine actually
         # used (select_engine is deterministic in these arguments).
-        engine = _F.select_engine(
+        engine = ("lax" if self._nee else _F.select_engine(
             self._scene_arrays, self._mode, self._enable_refraction,
-            not self._linear, self._mesh, "auto")
+            not self._linear, self._mesh, "auto"))
         self._last_engine = engine
         self._last_use_bvh = use_bvh and engine == "lax"
         img = _F.render(
@@ -487,6 +492,7 @@ class RayTracer:
             mesh=self._mesh,
             n_tri_active=self._n_tri_active,
             engine=engine,
+            nee=self._nee,
         )
         self._debug.render_count += 1
         return img
@@ -514,6 +520,10 @@ class RayTracer:
         return self._scene_snapshot.cast_ray_for_selection(ray, 0.001, 1000.0)
 
     # -- debug ----------------------------------------------------------
+    def set_nee(self, enable: bool):
+        """Toggle next-event estimation (beyond-reference; see __init__)."""
+        self._nee = bool(enable)
+
     def set_debug_mode(self, enable: bool):
         self._debug.enable_debug = enable
 

@@ -215,6 +215,11 @@ class ControlPanel(QTabWidget if HAVE_QT else object):
         enhance.setChecked(st["enhance_image"])
         enhance.toggled.connect(lambda b: self._set("enhance_image", b))
         lay.addWidget(enhance)
+        # beyond-reference estimator toggle (utils/config.py `nee`)
+        nee = QCheckBox("Direct Light Sampling (NEE)")
+        nee.setChecked(bool(st.get("nee", False)))
+        nee.toggled.connect(lambda b: self._set("nee", b))
+        lay.addWidget(nee)
         res = QHBoxLayout()
         self.res_w = QSpinBox(); self.res_w.setRange(64, 3840)
         self.res_w.setValue(self.rt.width)

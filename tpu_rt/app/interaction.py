@@ -847,6 +847,10 @@ class RayTracerInteraction:
                    and self.total_samples < self.settings["max_samples"]):
                 start = time.time()
                 with self.render_lock:
+                    # estimator toggle rides the settings dict like every
+                    # other knob (reference contract); sync before the batch
+                    self.ray_tracer.set_nee(
+                        bool(self.settings.get("nee", False)))
                     # device-resident batch: no per-batch host pull (the
                     # reference reshapes a host vector every batch,
                     # interaction.py:1294-1306)

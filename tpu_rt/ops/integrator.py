@@ -49,7 +49,7 @@ RR_P_MIN, RR_P_MAX = 0.1, 0.95
 V1_RR_P = 0.8
 
 
-def _scatter_directions(key, d, normal, roughness):
+def _scatter_directions(key, d, normal, roughness, cosine=False):
     """Metal and diffuse scatter directions for the whole wavefront.
 
     metal:   normalize(reflect(normalize(d), n) + roughness * ball)
@@ -58,14 +58,75 @@ def _scatter_directions(key, d, normal, roughness):
              (raytracer_core.cpp:341-346)
     One ball sample serves both: the branches are exclusive per lane, and the
     RNG is stateless so there is no stream to keep aligned.
+
+    ``cosine=True`` swaps the diffuse branch for EXACT cosine-weighted
+    sampling: normalize(n + s) with s uniform ON the unit sphere is
+    distributed cos(theta)/pi exactly, so with the Lambertian BRDF
+    albedo/pi the pdf cancels to the same ``throughput *= albedo`` update.
+    (The reference's in-ball variant is only approximately cosine; the
+    exact sampler is what the NEE estimator is defined against.)
     """
     ball = rngmod.unit_ball(key, d.shape[:-1])
     refl = vm.reflect(vm.normalize(d), normal)
     metal_dir = vm.normalize(refl + ball * roughness[..., None])
-    side = vm.dot(ball, normal, keepdims=True) > 0.0
-    hemi = jnp.where(side, ball, -ball)
-    diffuse_dir = vm.normalize(normal + hemi)
+    if cosine:
+        s = vm.normalize(ball)  # ball direction is isotropic -> on-sphere
+        cd = normal + s
+        degenerate = vm.length_squared(cd, keepdims=True) < 1e-12
+        diffuse_dir = jnp.where(degenerate, normal, vm.normalize(cd))
+    else:
+        side = vm.dot(ball, normal, keepdims=True) > 0.0
+        hemi = jnp.where(side, ball, -ball)
+        diffuse_dir = vm.normalize(normal + hemi)
     return metal_dir, diffuse_dir
+
+
+def _sample_light_cone(k_light, k_cone, attr, light_cdf, hp):
+    """Pick one emissive sphere per lane and sample its subtended cone.
+
+    Gather-free light fetch: the chosen light's packed attribute row comes
+    from a one-hot (R, N) @ (N, 16) matmul against the same attribute
+    matrix the intersector uses (ops/intersect.py:attribute_matrix).
+
+    Solid-angle cone sampling of a sphere light (center c, radius r) seen
+    from hp: cos_max = sqrt(1 - r^2/|c-hp|^2); direction uniform on the
+    cone cap. Returns (dir, weight=2*pi*(1-cos_max), emission, light_id,
+    inside) — ``weight`` is 1/pdf of the sampled solid angle, and lanes
+    *inside* a light sphere are flagged invalid (cone undefined).
+    """
+    R = hp.shape[0]
+    u_l = rngmod.uniform(k_light, (R,))
+    sel_ge = light_cdf[None, :] >= u_l[:, None]
+    first = jnp.cumsum(sel_ge.astype(jnp.int32), axis=-1) == 1
+    lhot = (sel_ge & first).astype(jnp.float32)
+    lat = jnp.dot(lhot, attr, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    lc, lr = lat[:, 0:3], lat[:, 3]
+    le, lid = lat[:, 9:12], lat[:, 13]
+
+    to_l = lc - hp
+    d2 = jnp.maximum(vm.length_squared(to_l), 1e-12)
+    sin2_max = (lr * lr) / d2
+    inside = sin2_max >= 1.0
+    cos_max = jnp.sqrt(jnp.clip(1.0 - sin2_max, 0.0, 1.0))
+
+    xi = rngmod.uniform(k_cone, (R, 2))
+    cos_t = 1.0 - xi[:, 0] * (1.0 - cos_max)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = (2.0 * jnp.pi) * xi[:, 1]
+
+    w = to_l * jax.lax.rsqrt(d2)[:, None]
+    # orthonormal basis around w (branchless pick of the less-aligned axis)
+    a = jnp.where((jnp.abs(w[:, 0]) > 0.9)[:, None],
+                  jnp.array([0.0, 1.0, 0.0], jnp.float32)[None, :],
+                  jnp.array([1.0, 0.0, 0.0], jnp.float32)[None, :])
+    t1 = vm.normalize(vm.cross(a, w))
+    t2 = vm.cross(w, t1)
+    dir_l = (w * cos_t[:, None]
+             + t1 * (sin_t * jnp.cos(phi))[:, None]
+             + t2 * (sin_t * jnp.sin(phi))[:, None])
+    weight = (2.0 * jnp.pi) * (1.0 - cos_max)  # = 1 / pdf_solid_angle
+    return dir_l, weight, le, lid, inside
 
 
 def _dielectric_directions(key, d, normal, ior):
@@ -93,7 +154,7 @@ def _dielectric_directions(key, d, normal, ior):
 @partial(
     jax.jit,
     static_argnames=("max_depth", "mode", "enable_refraction", "with_stats",
-                     "use_bvh"),
+                     "use_bvh", "nee", "diffuse_sampling"),
 )
 def trace(
     scene: SphereScene,
@@ -106,6 +167,8 @@ def trace(
     with_stats: bool = False,
     mesh=None,
     use_bvh: bool = False,
+    nee: bool = False,
+    diffuse_sampling: str = "ball",
 ):
     """Trace R rays to completion; returns (R, 3) linear radiance.
 
@@ -116,10 +179,26 @@ def trace(
     path for scenes past the brute-force crossover; equivalent results —
     tests/test_bvh.py, tests/test_triangle.py). With ``with_stats=True`` also
     returns the total number of ray segments traced (for Mrays/s accounting,
-    SURVEY.md §5 tracing).
+    SURVEY.md §5 tracing; shadow rays count as segments under ``nee``).
+
+    ``nee=True`` (v2 only) switches diffuse lanes to next-event estimation:
+    at every diffuse hit one emissive sphere is sampled by subtended solid
+    angle and connected with a shadow ray, and diffuse BSDF-path hits on
+    lights no longer add emission (specular lanes still do) — an unbiased
+    split that removes the find-the-light-by-chance variance of the
+    reference's estimator (raytracer_core.cpp:306-312 adds emission only on
+    lucky hits). NEE is defined against the EXACT Lambertian/cosine sampler,
+    so it forces ``diffuse_sampling="cosine"``; ``diffuse_sampling="cosine"``
+    alone (nee=False) is the matching brute-force path tracer used to verify
+    the NEE estimator's mean (tests/test_nee.py).
     """
     if mode not in ("v1", "v2"):
         raise ValueError(f"unknown integrator mode {mode!r}")
+    if diffuse_sampling not in ("ball", "cosine"):
+        raise ValueError(f"unknown diffuse_sampling {diffuse_sampling!r}")
+    if nee and mode != "v2":
+        raise ValueError("nee=True requires mode='v2'")
+    cosine = nee or diffuse_sampling == "cosine"
     R = origins.shape[0]
     attr = attribute_matrix(scene)
     if use_bvh:
@@ -142,22 +221,35 @@ def trace(
         return (zero, jnp.int32(0)) if with_stats else zero
     bg = scene.background
 
+    if nee:
+        # Uniform pick over emissive spheres: a cumulative-mask one-hot
+        # (no gather) selects from this scene-constant cdf per lane.
+        em_max = jnp.max(scene.emission, axis=-1)
+        is_light = scene.valid & (em_max > 0.0) & (scene.radius > 0.0)
+        lw = is_light.astype(jnp.float32)
+        n_lights = jnp.sum(lw)
+        light_cdf = jnp.cumsum(lw) / jnp.maximum(n_lights, 1.0)
+
+    def scene_hit(o_, d_):
+        if use_bvh:
+            h_ = intersect_spheres_bvh_hit(scene, bvh, o_, d_)
+        else:
+            h_ = intersect_brute(scene, o_, d_, attr=attr)
+        if mesh is not None:
+            if use_bvh:
+                mh = intersect_mesh_bvh_hit(mesh, tri_bvh, o_, d_)
+            else:
+                mh = intersect_mesh_brute(mesh, o_, d_, attr=tri_attr)
+            h_ = combine_hits(h_, mh)
+        return h_
+
     def body(state):
-        depth, o, d, thr, col, act, k, segs = state
+        depth, o, d, thr, col, act, k, segs, no_emit = state
         depth = depth + 1
         k, k_ball, k_rr, k_branch, k_glass = jax.random.split(k, 5)
 
         segs = segs + jnp.sum(act.astype(jnp.int32))
-        if use_bvh:
-            h = intersect_spheres_bvh_hit(scene, bvh, o, d)
-        else:
-            h = intersect_brute(scene, o, d, attr=attr)
-        if mesh is not None:
-            if use_bvh:
-                mh = intersect_mesh_bvh_hit(mesh, tri_bvh, o, d)
-            else:
-                mh = intersect_mesh_brute(mesh, o, d, attr=tri_attr)
-            h = combine_hits(h, mh)
+        h = scene_hit(o, d)
 
         # Miss: add background through throughput, lane dies
         # (raytracer_core.cpp:306-311; v1 returns background up the chain,
@@ -173,7 +265,11 @@ def trace(
             front = vm.dot(d, normal, keepdims=True) < 0.0
             normal = jnp.where(front, normal, -normal)
 
-        col = col + jnp.where(act[:, None], thr * h.emission, 0.0)
+        # Under NEE, lanes whose previous scatter was diffuse already
+        # accounted for direct light via their shadow ray — BSDF-path
+        # emission would double count it.
+        emit_ok = act & ~no_emit if nee else act
+        col = col + jnp.where(emit_ok[:, None], thr * h.emission, 0.0)
 
         # Russian roulette (before scatter, after emission).
         xi_rr = rngmod.uniform(k_rr, (R,))
@@ -199,7 +295,8 @@ def trace(
         metallic, roughness, albedo, ior = (
             h.metallic, h.roughness, h.albedo, h.ior)
 
-        metal_dir, diffuse_dir = _scatter_directions(k_ball, d, normal, roughness)
+        metal_dir, diffuse_dir = _scatter_directions(
+            k_ball, d, normal, roughness, cosine=cosine)
         if mode == "v2":
             # Deterministic branch: metallic > 0 (raytracer_core.cpp:334).
             is_metal = metallic > 0.0
@@ -213,14 +310,39 @@ def trace(
             glass_dir = _dielectric_directions(k_glass, d, h.normal, ior)
             is_glass = (metallic <= 0.0) & (roughness <= 0.0) & (ior > 1.0)
             new_d = jnp.where(is_glass[:, None], glass_dir, new_d)
+            is_specular = is_metal | is_glass
+        else:
+            is_specular = is_metal
+
+        if nee:
+            # Direct-light split for diffuse lanes: one shadow ray to a
+            # solid-angle-sampled point on a uniformly chosen light.
+            # Lambertian f = albedo/pi; estimator
+            #   thr * albedo/pi * cos * Le * (1/pdf_omega) * n_lights.
+            diffuse_lane = act & ~is_specular
+            k_light = jax.random.fold_in(k, 101)
+            k_cone = jax.random.fold_in(k, 102)
+            dir_l, weight, le, lid, inside = _sample_light_cone(
+                k_light, k_cone, attr, light_cdf, hp)
+            sh = scene_hit(hp, dir_l)
+            visible = sh.hit & (sh.object_id == lid)
+            ndl = vm.dot(normal, dir_l)
+            gate = (diffuse_lane & visible & ~inside & (ndl > 0.0)
+                    & (n_lights > 0.0))
+            contrib = (thr * albedo
+                       * (ndl * weight * (n_lights / jnp.pi))[:, None] * le)
+            col = col + jnp.where(gate[:, None], contrib, 0.0)
+            segs = segs + jnp.sum(diffuse_lane.astype(jnp.int32))
+            no_emit = diffuse_lane
 
         thr = thr * albedo
         o = jnp.where(act[:, None], hp, o)
         d = jnp.where(act[:, None], new_d, d)
-        return depth, o, d, thr, col, act, k, segs
+        return depth, o, d, thr, col, act, k, segs, no_emit
 
     def cond(state):
-        depth, _, _, _, _, act, _, _ = state
+        depth = state[0]
+        act = state[5]
         return (depth < max_depth) & jnp.any(act)
 
     # The initial active mask is all-True but derived from ray data rather
@@ -237,12 +359,13 @@ def trace(
         act0,
         key,
         jnp.sum((directions[:, 0] * 0.0).astype(jnp.int32)),
+        jnp.zeros((R,), bool) & act0,  # no_emit: camera hits always emit
     )
     # One guaranteed iteration (the C++ loop always runs once for
     # max_depth >= 1), then while_loop exits as soon as all lanes die.
     state = body(init)
     state = jax.lax.while_loop(cond, body, state)
-    _, _, _, _, color, _, _, segments = state
+    color, segments = state[4], state[7]
     if with_stats:
         return color, segments
     return color

@@ -173,6 +173,8 @@ def render(
     n_active: int | None = None,
     n_tri_active: int | None = None,
     enable_dof: bool | None = None,
+    nee: bool = False,
+    diffuse_sampling: str = "ball",
 ):
     """Render one batch of ``spp`` samples; returns (height, width, 3) f32.
 
@@ -192,7 +194,18 @@ def render(
     so it ignores the flag). ``n_active``/``n_tri_active``: quantized active
     counts (quantize_count) cached by the caller — passing them avoids a
     device->host pull of scene.valid on every interactive batch.
+    ``nee=True`` (v2 only) renders with next-event estimation — direct
+    light via shadow rays at every diffuse hit (ops/integrator.py) — a
+    much lower-variance estimator for the same scene; currently a lax-
+    engine capability (the fused Pallas engines keep the reference
+    estimator), so it overrides auto-dispatch.
     """
+    if nee:
+        if engine in ("pallas", "cluster"):
+            raise ValueError(
+                "nee=True is a lax-engine capability; engine="
+                f"{engine!r} does not support it")
+        engine = "lax"
     if enable_dof is None:
         # Auto-detect thin-lens DOF from the camera. The aperture is host
         # data in every interactive path (Camera.to_params builds CameraP
@@ -262,7 +275,8 @@ def render(
         scene, cam, key, width=width, height=height, spp=spp,
         max_depth=max_depth, mode=mode, enable_refraction=enable_refraction,
         gamma=gamma, jitter=jitter, with_stats=with_stats, mesh=mesh,
-        use_bvh=use_bvh, enable_dof=enable_dof,
+        use_bvh=use_bvh, enable_dof=enable_dof, nee=nee,
+        diffuse_sampling=diffuse_sampling,
     )
 
 
@@ -271,13 +285,13 @@ def render(
     static_argnames=(
         "width", "height", "spp", "max_depth", "mode",
         "enable_refraction", "gamma", "jitter", "with_stats", "use_bvh",
-        "enable_dof",
+        "enable_dof", "nee", "diffuse_sampling",
     ),
 )
 def _render_lax(
     scene, cam, key, *, width, height, spp, max_depth, mode,
     enable_refraction, gamma, jitter, with_stats, mesh, use_bvh=False,
-    enable_dof=False,
+    enable_dof=False, nee=False, diffuse_sampling="ball",
 ):
     """XLA lax render pipeline (general path: any estimator mode, meshes,
     linear output, CPU backends)."""
@@ -303,7 +317,8 @@ def _render_lax(
             scene, o, d, k_trace,
             max_depth=max_depth, mode=mode,
             enable_refraction=enable_refraction, with_stats=True,
-            mesh=mesh, use_bvh=use_bvh,
+            mesh=mesh, use_bvh=use_bvh, nee=nee,
+            diffuse_sampling=diffuse_sampling,
         )
         return (acc + color, segs + nseg), None
 

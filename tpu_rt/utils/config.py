@@ -34,6 +34,13 @@ class RenderSettings:
     # production serving stops paying for invisible samples. 0.0 = off
     # (the reference always runs to max_samples).
     noise_target: float = 0.0
+    # Beyond-reference: next-event estimation (shadow rays to sampled
+    # lights at every diffuse hit, ops/integrator.py nee=True) — a much
+    # lower-variance estimator (measured 34x vs the reference estimator on
+    # the small-light test scene, tests/test_nee.py). Runs on the lax
+    # engine; the physically-based cosine/Lambertian transport, so the
+    # converged image differs slightly from the reference look.
+    nee: bool = False
 
     # GUI slider ranges (gui.py:167-245): clamp on assignment
     _RANGES = {
