@@ -20,6 +20,20 @@ from tpu_rt.render.frame import render
 
 W, H, SPP, DEPTH = 48, 36, 32, 4
 
+_tpu = [d for d in jax.devices() if "TPU" in str(d)]
+
+
+@pytest.fixture(params=(["tpu"] if _tpu else ["interpret"]))
+def tpu_or_interpret(request):
+    """(on_tpu, interpret) pair: the fused-NEE tests run compiled on the
+    real chip when one is attached, else through the Pallas interpreter
+    (hash RNG) on CPU — same estimator either way."""
+    if request.param == "tpu":
+        with jax.default_device(_tpu[0]):
+            yield (True, False)
+    else:
+        yield (False, True)
+
 
 def nee_scene(light=True, blocker=False, background=(0.0, 0.0, 0.0)):
     """Ground + diffuse ball + rough metal ball + one small bright light."""
@@ -132,12 +146,111 @@ def test_nee_requires_v2():
         trace(scene, o, d, jax.random.key(0), mode="v1", nee=True)
 
 
-def test_nee_rejects_pallas_engines():
+def test_nee_rejects_cluster_engine():
     scene = nee_scene()
     cam = make_camera(aspect=W / H)
-    with pytest.raises(ValueError, match="lax"):
+    with pytest.raises(ValueError, match="cluster"):
         render(scene, cam, jax.random.key(0), width=W, height=H, spp=1,
-               engine="pallas", nee=True)
+               engine="cluster", nee=True)
+
+
+def test_nee_megakernel_mean_matches_lax(tpu_or_interpret):
+    """The fused NEE (ops/pallas_megakernel.py, nee=True) implements the
+    same estimator as the lax path, stream-different: mean images over K
+    independent frames must agree within Monte-Carlo error."""
+    from tpu_rt.ops.pallas_megakernel import render_pallas
+
+    on_tpu, interpret = tpu_or_interpret
+    Wm, Hm, SPPm, K = (32, 24, 16, 12) if interpret else (64, 48, 32, 24)
+    scene = nee_scene()
+    cam = make_camera(position=(0, 1.0, 2.0), target=(0, 0.2, -3),
+                      aspect=Wm / Hm)
+    pk = np.stack([
+        np.asarray(render_pallas(
+            scene, cam, 1000 + k, width=Wm, height=Hm, spp=SPPm,
+            max_depth=DEPTH, interpret=interpret, nee=True, gamma=False,
+            n_active=4))
+        for k in range(K)])
+    lx = np.stack([
+        np.asarray(render(
+            scene, cam, jax.random.key(500 + k), width=Wm, height=Hm,
+            spp=SPPm, max_depth=DEPTH, engine="lax", nee=True, gamma=False))
+        for k in range(K)])
+    mp, ml = pk.mean(0), lx.mean(0)
+    se = np.sqrt(pk.var(0) / K + lx.var(0) / K)
+    rmse = float(np.sqrt(np.mean((mp - ml) ** 2)))
+    rmse_se = float(np.sqrt(np.mean(se ** 2)))
+    assert rmse <= 2.0 * rmse_se, (rmse, rmse_se)
+    assert abs(mp.mean() - ml.mean()) <= 5e-3, (mp.mean(), ml.mean())
+
+
+def test_nee_megakernel_reduces_variance(tpu_or_interpret):
+    from tpu_rt.ops.pallas_megakernel import render_pallas
+
+    on_tpu, interpret = tpu_or_interpret
+    scene = nee_scene()
+    Wv, Hv, SPPv = (32, 24, 8) if interpret else (W, H, SPP)
+    cam = make_camera(position=(0, 1.0, 2.0), target=(0, 0.2, -3),
+                      aspect=Wv / Hv)
+    K = 8 if interpret else 16
+
+    def fr(nee, k):
+        return np.asarray(render_pallas(
+            scene, cam, 40 + k, width=Wv, height=Hv, spp=SPPv,
+            max_depth=DEPTH, interpret=interpret, nee=nee, gamma=False,
+            n_active=4))
+
+    ref = np.stack([fr(False, k) for k in range(K)])
+    ne = np.stack([fr(True, k) for k in range(K)])
+    v_ref = float(ref.var(0).mean())
+    v_ne = float(ne.var(0).mean())
+    assert v_ne < 0.35 * v_ref, (v_ne, v_ref)
+
+
+def test_nee_megakernel_deterministic_and_dispatch(tpu_or_interpret):
+    """frame.render(engine='pallas'/'auto', nee=True) routes to the fused
+    kernel and is reproducible per seed."""
+    on_tpu, interpret = tpu_or_interpret
+    if interpret:
+        pytest.skip("frame.render dispatches the compiled kernel (TPU)")
+    scene = nee_scene()
+    cam = make_camera(position=(0, 1.0, 2.0), target=(0, 0.2, -3),
+                      aspect=W / H)
+    a = render(scene, cam, jax.random.key(3), width=W, height=H, spp=4,
+               max_depth=DEPTH, engine="pallas", nee=True, seed=3)
+    b = render(scene, cam, jax.random.key(3), width=W, height=H, spp=4,
+               max_depth=DEPTH, engine="pallas", nee=True, seed=3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nee_megakernel_shadowed_by_mesh(tpu_or_interpret):
+    """The fused shadow sweep must test triangles too."""
+    from tpu_rt.ops.pallas_megakernel import render_pallas
+    from tpu_rt.ops.triangle import make_mesh
+
+    on_tpu, interpret = tpu_or_interpret
+    scene = nee_scene()
+    v = np.array([[-1.6, 1.4, -2.8], [0.2, 1.4, -2.8], [0.2, 1.4, -2.2],
+                  [-1.6, 1.4, -2.2]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mesh = make_mesh(v, f, albedo=(0.2, 0.2, 0.2))
+    K = 2 if interpret else 4
+    Wv, Hv, SPPv = (32, 24, 8) if interpret else (W, H, SPP)
+    cam = make_camera(position=(0, 1.0, 2.0), target=(0, 0.2, -3),
+                      aspect=Wv / Hv)
+
+    def fr(m, k):
+        return np.asarray(render_pallas(
+            scene, cam, 60 + k, width=Wv, height=Hv, spp=SPPv,
+            max_depth=DEPTH, interpret=interpret, nee=True, n_active=4,
+            mesh=m, n_tri_active=None if m is None else 2))
+
+    lit = np.stack([fr(None, k) for k in range(K)]).mean(0)
+    sh = np.stack([fr(mesh, k) for k in range(K)]).mean(0)
+    cy, cx = Hv // 2, Wv // 2
+    lit_patch = lit[cy - 4:cy + 4, cx - 8:cx].mean()
+    sh_patch = sh[cy - 4:cy + 4, cx - 8:cx].mean()
+    assert sh_patch < 0.7 * lit_patch, (sh_patch, lit_patch)
 
 
 def test_nee_with_mesh_occluder():

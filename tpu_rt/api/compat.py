@@ -359,9 +359,13 @@ class RayTracer:
         self._mode = mode
         self._enable_refraction = enable_refraction
         # Beyond-reference: next-event estimation (direct light via shadow
-        # rays — ops/integrator.py). Lax-engine estimator; forces the
-        # general pipeline when on.
+        # rays). Fused into the megakernel (ops/pallas_megakernel.py) and
+        # in the lax pipeline (ops/integrator.py); only the cluster engine
+        # falls back to lax when on.
         self._nee = nee
+        # Beyond-reference: R2 low-discrepancy pixel sampling
+        # (render/frame.py stratify=True).
+        self._stratify = False
         # linear=True returns pre-gamma radiance batches (for the app's
         # correct-averaging mode); False keeps the reference's sqrt-gamma'd
         # output contract
@@ -474,10 +478,13 @@ class RayTracer:
         use_bvh = bool(self._scene_snapshot.use_bvh)
         # Resolve the engine ONCE and force it through render(), so the
         # observability fields can never diverge from the engine actually
-        # used (select_engine is deterministic in these arguments).
-        engine = ("lax" if self._nee else _F.select_engine(
+        # used (select_engine is deterministic in these arguments). NEE is
+        # fused into the megakernel; only the cluster engine lacks it.
+        engine = _F.select_engine(
             self._scene_arrays, self._mode, self._enable_refraction,
-            not self._linear, self._mesh, "auto"))
+            not self._linear, self._mesh, "auto")
+        if self._nee and engine == "cluster":
+            engine = "lax"
         self._last_engine = engine
         self._last_use_bvh = use_bvh and engine == "lax"
         img = _F.render(
@@ -493,6 +500,7 @@ class RayTracer:
             n_tri_active=self._n_tri_active,
             engine=engine,
             nee=self._nee,
+            stratify=self._stratify,
         )
         self._debug.render_count += 1
         return img
@@ -523,6 +531,11 @@ class RayTracer:
     def set_nee(self, enable: bool):
         """Toggle next-event estimation (beyond-reference; see __init__)."""
         self._nee = bool(enable)
+
+    def set_stratify(self, enable: bool):
+        """Toggle stratified (R2 low-discrepancy) pixel sampling
+        (beyond-reference; render/frame.py ``stratify``)."""
+        self._stratify = bool(enable)
 
     def set_debug_mode(self, enable: bool):
         self._debug.enable_debug = enable

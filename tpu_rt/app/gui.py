@@ -220,6 +220,11 @@ class ControlPanel(QTabWidget if HAVE_QT else object):
         nee.setChecked(bool(st.get("nee", False)))
         nee.toggled.connect(lambda b: self._set("nee", b))
         lay.addWidget(nee)
+        # beyond-reference sampler toggle (utils/config.py `stratify`)
+        strat = QCheckBox("Stratified Sampling (R2)")
+        strat.setChecked(bool(st.get("stratify", False)))
+        strat.toggled.connect(lambda b: self._set("stratify", b))
+        lay.addWidget(strat)
         res = QHBoxLayout()
         self.res_w = QSpinBox(); self.res_w.setRange(64, 3840)
         self.res_w.setValue(self.rt.width)

@@ -851,6 +851,8 @@ class RayTracerInteraction:
                     # other knob (reference contract); sync before the batch
                     self.ray_tracer.set_nee(
                         bool(self.settings.get("nee", False)))
+                    self.ray_tracer.set_stratify(
+                        bool(self.settings.get("stratify", False)))
                     # device-resident batch: no per-batch host pull (the
                     # reference reshapes a host vector every batch,
                     # interaction.py:1294-1306)

@@ -217,7 +217,8 @@ def set_setting(rt, key: str, value) -> None:
     accumulation (reference gui.py:740-746)."""
     rt.settings[key] = value
     if key in ("max_samples", "samples_per_batch", "max_depth",
-               "exposure", "enhance_image", "nee"):
-        # `nee` switches the estimator: stale accumulation would mix two
-        # different transports, so it restarts like the reference knobs.
+               "exposure", "enhance_image", "nee", "stratify"):
+        # `nee` switches the estimator (stale accumulation would mix two
+        # different transports) and `stratify` the sampler, so they restart
+        # like the reference knobs.
         rt.restart_rendering()

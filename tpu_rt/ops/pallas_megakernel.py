@@ -29,6 +29,16 @@ p = clamp(max throughput, 0.1, 0.95) and survivor compensation; metal
 normalize(normal + hemisphere-ball). Distribution-exact vs the lax path,
 stream-different (different PRNG), so images agree statistically — verified
 in tests/test_pallas.py.
+
+``nee=True`` fuses next-event estimation into the bounce loop (same
+estimator as ops/integrator.py trace(nee=True)): diffuse lanes switch to
+the exact cosine sampler, every diffuse hit connects one shadow ray to a
+solid-angle-sampled emissive sphere (light pick via a cdf riding the attr
+pad column — no gathers), and BSDF-path emission is suppressed on the
+following bounce. The shadow sweep re-unrolls the primitive loop, so a
+NEE bounce costs ~2x the intersect work of a plain one — bought back
+many times over by the 20-30x variance reduction on small-light scenes
+(tests/test_nee.py).
 """
 
 from __future__ import annotations
@@ -49,6 +59,11 @@ TILE = SUBLANES * LANES  # rays per program
 
 _INV_U32 = 2.3283064365386963e-10  # 1 / 2^32 (PCG32::random_float scale)
 TWO_PI = 6.2831853071795864
+# R2 low-discrepancy sequence: (1/p, 1/p^2) for the plastic number p —
+# successive spp samples tile the pixel footprint quasi-uniformly instead
+# of i.i.d.-uniformly (stratified pixel AA; see render_pallas(stratify=)).
+R2_ALPHA_U = 0.7548776662466927
+R2_ALPHA_V = 0.5698402909980532
 
 
 def _uniform(shape):
@@ -109,11 +124,17 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                  jitter=True, enable_refraction=False, gamma=True,
-                 rr_start=3, hash_rng=False, enable_dof=False):
+                 rr_start=3, hash_rng=False, enable_dof=False, nee=False,
+                 stratify=False):
     """Build the kernel body for static (w, h, spp, depth, N).
 
     ``hash_rng=True`` swaps the hardware PRNG for the counter-hash RNG
-    (interpret mode — see _hash_uniform)."""
+    (interpret mode — see _hash_uniform). ``nee=True`` fuses next-event
+    estimation into the bounce loop: diffuse lanes switch to the exact
+    cosine sampler, connect every hit to one solid-angle-sampled emissive
+    sphere with an in-kernel shadow sweep, and suppress BSDF-path emission
+    on the following bounce (the same estimator as
+    ops/integrator.py trace(nee=True), stream-different)."""
 
     def kernel(cam_ref, attr_ref, tri_geo_ref, tri_mat_ref, bg_ref,
                seed_ref, out_ref, segs_ref):
@@ -133,6 +154,7 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
         upx, upy, upz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
         tf_aspect, tf = cam_ref[0, 12], cam_ref[0, 13]
         bgx, bgy, bgz = bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2]
+        n_lights = bg_ref[0, 3]  # emissive-sphere count (0.0 when nee off)
 
         shape = (SUBLANES, LANES)
         sub = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -143,6 +165,17 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
 
         inv_w = 1.0 / width
         inv_h = 1.0 / height
+
+        if jitter and stratify:
+            # per-pixel Cranley-Patterson rotation of the shared R2
+            # lattice: decorrelates pixels while keeping each pixel's spp
+            # samples stratified; drawn once per frame, before the loop
+            if hash_rng:
+                shift_u = _hash_uniform(flat, seed_scalar, 9001)
+                shift_v = _hash_uniform(flat, seed_scalar, 9002)
+            else:
+                shift_u = _uniform(shape)
+                shift_v = _uniform(shape)
 
         def sample_body(_s, acc):
             acc_r, acc_g, acc_b, seg_count = acc
@@ -165,7 +198,13 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
 
             # jittered pixel coords (raytracer_core.cpp:390-392);
             # jitter=False shoots pixel centers (deterministic goldens)
-            if jitter:
+            if jitter and stratify:
+                sf = _s.astype(jnp.float32)
+                xu = shift_u + sf * R2_ALPHA_U
+                xu = xu - jnp.floor(xu)
+                xv = shift_v + sf * R2_ALPHA_V
+                xv = xv - jnp.floor(xv)
+            elif jitter:
                 xu = U()
                 xv = U()
             else:
@@ -209,13 +248,16 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
             col_g = jnp.zeros(shape, jnp.float32)
             col_b = jnp.zeros(shape, jnp.float32)
             active = jnp.ones(shape, jnp.bool_)
+            # NEE: lanes whose previous scatter was diffuse already counted
+            # direct light via their shadow ray; camera hits always emit.
+            no_emit = jnp.zeros(shape, jnp.bool_)
 
             state = (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
-                     col_r, col_g, col_b, active, seg_count)
+                     col_r, col_g, col_b, active, no_emit, seg_count)
 
             def bounce(rr_on, st):
                 (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb, act,
-                 seg_count) = st
+                 no_emit, seg_count) = st
                 seg_count = seg_count + jnp.sum(act.astype(jnp.int32))
 
                 # ---- intersect all spheres, unrolled ----
@@ -327,10 +369,11 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                 cg = cg + missf * tg * bgy
                 cb = cb + missf * tb * bgz
                 act = act & hit
-                actf = act.astype(jnp.float32)
-                cr = cr + actf * tr * b_er
-                cg = cg + actf * tg * b_eg
-                cb = cb + actf * tb * b_eb
+                emitf = ((act & ~no_emit) if nee else act).astype(
+                    jnp.float32)
+                cr = cr + emitf * tr * b_er
+                cg = cg + emitf * tg * b_eg
+                cb = cb + emitf * tb * b_eb
 
                 # ---- Russian roulette (raytracer_core.cpp:317-329) ----
                 # rr_on is static: early bounces skip the RR code entirely.
@@ -370,10 +413,24 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                 mx, my, mz = _normalize3(rfx + bx * b_rgh,
                                          rfy + by * b_rgh,
                                          rfz + bz * b_rgh)
-                side = _dot3(bx, by, bz, nx, ny, nz) > 0.0
-                sgn = jnp.where(side, 1.0, -1.0)
-                fx, fy, fz = _normalize3(nx + bx * sgn, ny + by * sgn,
-                                         nz + bz * sgn)
+                if nee:
+                    # exact cosine-weighted diffuse: n + (on-sphere unit)
+                    # is distributed cos(theta)/pi (the NEE estimator's
+                    # defining sampler — ops/integrator.py
+                    # _scatter_directions(cosine=True))
+                    sx_, sy_, sz_ = _normalize3(bx, by, bz)
+                    cdx_, cdy_, cdz_ = nx + sx_, ny + sy_, nz + sz_
+                    l2_ = cdx_ * cdx_ + cdy_ * cdy_ + cdz_ * cdz_
+                    deg_ = l2_ < 1e-12
+                    inv_ = _rsqrt_safe(l2_)
+                    fx = jnp.where(deg_, nx, cdx_ * inv_)
+                    fy = jnp.where(deg_, ny, cdy_ * inv_)
+                    fz = jnp.where(deg_, nz, cdz_ * inv_)
+                else:
+                    side = _dot3(bx, by, bz, nx, ny, nz) > 0.0
+                    sgn = jnp.where(side, 1.0, -1.0)
+                    fx, fy, fz = _normalize3(nx + bx * sgn, ny + by * sgn,
+                                             nz + bz * sgn)
                 is_metal = b_met > 0.0
                 ndx = jnp.where(is_metal, mx, fx)
                 ndy = jnp.where(is_metal, my, fy)
@@ -414,6 +471,153 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                     ndy = jnp.where(is_glass, gy, ndy)
                     ndz = jnp.where(is_glass, gz, ndz)
 
+                if nee:
+                    # ---- next-event estimation: one shadow ray per
+                    # diffuse lane to a solid-angle-sampled point on a
+                    # uniformly chosen emissive sphere. Estimator
+                    #   thr * albedo/pi * cos * Le * (1/pdf_omega) * n_lights
+                    # (ops/integrator.py trace(nee=True)). ----
+                    is_spec = is_metal
+                    if enable_refraction:
+                        is_spec = is_spec | is_glass
+                    diffuse_lane = act & ~is_spec
+
+                    # light pick: first attr row whose cdf (col 15, packed
+                    # by render_pallas) crosses the draw — the same
+                    # cumulative-mask one-hot as the lax path, as a
+                    # where-chain over the unrolled bucket
+                    u_l = U()
+                    found = jnp.zeros(shape, jnp.bool_)
+                    l_cx = jnp.zeros(shape, jnp.float32)
+                    l_cy = jnp.zeros(shape, jnp.float32)
+                    l_cz = jnp.zeros(shape, jnp.float32)
+                    l_r = jnp.zeros(shape, jnp.float32)
+                    l_er = jnp.zeros(shape, jnp.float32)
+                    l_eg = jnp.zeros(shape, jnp.float32)
+                    l_eb = jnp.zeros(shape, jnp.float32)
+                    for n in range(n_spheres):
+                        pick = (~found) & (attr_ref[n, 15] >= u_l)
+                        found = found | pick
+                        l_cx = jnp.where(pick, attr_ref[n, 0], l_cx)
+                        l_cy = jnp.where(pick, attr_ref[n, 1], l_cy)
+                        l_cz = jnp.where(pick, attr_ref[n, 2], l_cz)
+                        l_r = jnp.where(pick, attr_ref[n, 3], l_r)
+                        l_er = jnp.where(pick, attr_ref[n, 9], l_er)
+                        l_eg = jnp.where(pick, attr_ref[n, 10], l_eg)
+                        l_eb = jnp.where(pick, attr_ref[n, 11], l_eb)
+
+                    # cone subtended by the light from the hit point
+                    tlx = l_cx - hx
+                    tly = l_cy - hy
+                    tlz = l_cz - hz
+                    d2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz,
+                                     1e-12)
+                    sin2 = (l_r * l_r) / d2
+                    inside = sin2 >= 1.0
+                    cos_max = jnp.sqrt(jnp.clip(1.0 - sin2, 0.0, 1.0))
+                    xi1 = U()
+                    xi2 = U()
+                    cos_t = 1.0 - xi1 * (1.0 - cos_max)
+                    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                    phi_l = TWO_PI * xi2
+                    inv_dl = jax.lax.rsqrt(d2)
+                    wx_, wy_, wz_ = tlx * inv_dl, tly * inv_dl, tlz * inv_dl
+                    # orthonormal basis around w (branchless axis pick)
+                    big = jnp.abs(wx_) > 0.9
+                    ax_ = jnp.where(big, 0.0, 1.0)
+                    ay_ = jnp.where(big, 1.0, 0.0)
+                    t1x = ay_ * wz_            # cross(a, w), az == 0
+                    t1y = -ax_ * wz_
+                    t1z = ax_ * wy_ - ay_ * wx_
+                    t1x, t1y, t1z = _normalize3(t1x, t1y, t1z)
+                    t2x = wy_ * t1z - wz_ * t1y
+                    t2y = wz_ * t1x - wx_ * t1z
+                    t2z = wx_ * t1y - wy_ * t1x
+                    sc_ = sin_t * jnp.cos(phi_l)
+                    ss_ = sin_t * jnp.sin(phi_l)
+                    ldx = wx_ * cos_t + t1x * sc_ + t2x * ss_
+                    ldy = wy_ * cos_t + t1y * sc_ + t2y * ss_
+                    ldz = wz_ * cos_t + t1z * sc_ + t2z * ss_
+                    weight = TWO_PI * (1.0 - cos_max)  # 1 / pdf_omega
+
+                    # t to the chosen light along the shadow ray
+                    locx = hx - l_cx
+                    locy = hy - l_cy
+                    locz = hz - l_cz
+                    lhb = locx * ldx + locy * ldy + locz * ldz
+                    lcq = (locx * locx + locy * locy + locz * locz
+                           - l_r * l_r)
+                    ldisc = lhb * lhb - lcq
+                    lsq = jnp.sqrt(jnp.maximum(ldisc, 0.0))
+                    lt0 = -lhb - lsq
+                    lt1 = -lhb + lsq
+                    t_light = jnp.where(lt0 >= 1e-3, lt0, lt1)
+                    light_ok = (ldisc >= 0.0) & (t_light >= 1e-3)
+
+                    # occlusion sweep: any primitive strictly nearer than
+                    # the light entry point blocks the connection (the
+                    # light's own entry root equals t_light, so it never
+                    # self-occludes under the strict margin)
+                    t_edge = t_light - 1e-3
+                    occ = jnp.zeros(shape, jnp.bool_)
+                    for n in range(n_spheres):
+                        socx = hx - attr_ref[n, 0]
+                        socy = hy - attr_ref[n, 1]
+                        socz = hz - attr_ref[n, 2]
+                        shb = socx * ldx + socy * ldy + socz * ldz
+                        srad = attr_ref[n, 3]
+                        scq = (socx * socx + socy * socy + socz * socz
+                               - srad * srad)
+                        sdisc = shb * shb - scq
+                        ssq = jnp.sqrt(jnp.maximum(sdisc, 0.0))
+                        sr0 = -shb - ssq
+                        sr1 = -shb + ssq
+                        sin0 = (sr0 >= 1e-3) & (sr0 < t_edge)
+                        sin1 = (sr1 >= 1e-3) & (sr1 < t_edge)
+                        occ = occ | ((sdisc >= 0.0) & (sin0 | sin1)
+                                     & (attr_ref[n, 14] > 0.0))
+                    for k in range(n_tris):
+                        v0x, v0y, v0z = (tri_geo_ref[k, 0],
+                                         tri_geo_ref[k, 1],
+                                         tri_geo_ref[k, 2])
+                        e1x, e1y, e1z = (tri_geo_ref[k, 3],
+                                         tri_geo_ref[k, 4],
+                                         tri_geo_ref[k, 5])
+                        e2x, e2y, e2z = (tri_geo_ref[k, 6],
+                                         tri_geo_ref[k, 7],
+                                         tri_geo_ref[k, 8])
+                        pvx = ldy * e2z - ldz * e2y
+                        pvy = ldz * e2x - ldx * e2z
+                        pvz = ldx * e2y - ldy * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        okd = jnp.abs(det) > 1e-9
+                        inv = 1.0 / jnp.where(okd, det, 1.0)
+                        tvx = hx - v0x
+                        tvy = hy - v0y
+                        tvz = hz - v0z
+                        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        vv = (ldx * qvx + ldy * qvy + ldz * qvz) * inv
+                        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                        occ = occ | (okd & (uu >= 0.0) & (vv >= 0.0)
+                                     & (uu + vv <= 1.0) & (tt >= 1e-3)
+                                     & (tt < t_edge))
+
+                    ndl = nx * ldx + ny * ldy + nz * ldz
+                    gate = (diffuse_lane & light_ok & ~occ & ~inside
+                            & (ndl > 0.0) & (n_lights > 0.0))
+                    gf = gate.astype(jnp.float32)
+                    scale = gf * ndl * weight * (n_lights
+                                                 * 0.3183098861837907)
+                    cr = cr + tr * b_ar * scale * l_er
+                    cg = cg + tg * b_ag * scale * l_eg
+                    cb = cb + tb * b_ab * scale * l_eb
+                    seg_count = seg_count + jnp.sum(
+                        diffuse_lane.astype(jnp.int32))
+                    no_emit = diffuse_lane
+
                 tr = tr * b_ar
                 tg = tg * b_ag
                 tb = tb * b_ab
@@ -424,7 +628,7 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                 dy = jnp.where(act, ndy, dy)
                 dz = jnp.where(act, ndz, dz)
                 return (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb, act,
-                        seg_count)
+                        no_emit, seg_count)
 
             # Full static unroll over bounces: no loop overhead, static RR
             # gating, everything in registers. (A fori_loop here would nest
@@ -436,7 +640,7 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
             for depth_idx in range(1, max_depth + 1):
                 state = bounce(depth_idx > rr_start, state)
 
-            (_, _, _, _, _, _, _, _, _, col_r, col_g, col_b, _,
+            (_, _, _, _, _, _, _, _, _, col_r, col_g, col_b, _, _,
              seg_count) = state
             return (acc_r + col_r, acc_g + col_g, acc_b + col_b, seg_count)
 
@@ -483,7 +687,8 @@ def _pack_camera(cam: CameraP) -> jnp.ndarray:
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "jitter",
                      "enable_refraction", "gamma", "with_stats", "interpret",
-                     "n_active", "rows", "n_tri_active", "enable_dof", "vma"),
+                     "n_active", "rows", "n_tri_active", "enable_dof", "vma",
+                     "nee", "stratify"),
 )
 def render_pallas(
     scene: SphereScene,
@@ -505,6 +710,8 @@ def render_pallas(
     n_tri_active: int | None = None,
     enable_dof: bool = False,
     vma: tuple[str, ...] | None = None,
+    nee: bool = False,
+    stratify: bool = False,
 ):
     """Fused single-chip render; returns (height, width, 3) f32 in [0, 1].
 
@@ -541,8 +748,22 @@ def render_pallas(
              zero, zero, zero, zero, zero, zero, zero], axis=-1)
 
     attr = attribute_matrix(scene)
+    if nee:
+        # Uniform pick over emissive spheres: per-row cdf rides the attr
+        # pad column (15); the count rides the bg row. Scene edits change
+        # only these VALUES — no recompile (same as every other attribute).
+        em_max = jnp.max(scene.emission, axis=-1)
+        is_light = scene.valid & (em_max > 0.0) & (scene.radius > 0.0)
+        lw = is_light.astype(jnp.float32)
+        n_lights = jnp.sum(lw)
+        light_cdf = jnp.cumsum(lw) / jnp.maximum(n_lights, 1.0)
+        attr = attr.at[:, 15].set(light_cdf)
+    else:
+        n_lights = jnp.float32(0.0)
     cam_packed = _pack_camera(cam)
-    bg = scene.background.reshape(1, 3)
+    bg = jnp.concatenate(
+        [scene.background, jnp.asarray(n_lights, jnp.float32)[None]]
+    ).reshape(1, 4)
     pix_offset = jnp.asarray(row_offset, jnp.int32) * width
     seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
                           pix_offset]).reshape(2)
@@ -550,7 +771,8 @@ def render_pallas(
     kernel = _make_kernel(width, height, spp, max_depth, n_spheres,
                           n_tris=n_tris, jitter=jitter,
                           enable_refraction=enable_refraction, gamma=gamma,
-                          hash_rng=interpret, enable_dof=enable_dof)
+                          hash_rng=interpret, enable_dof=enable_dof, nee=nee,
+                          stratify=stratify)
     out, segs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

@@ -175,6 +175,7 @@ def render(
     enable_dof: bool | None = None,
     nee: bool = False,
     diffuse_sampling: str = "ball",
+    stratify: bool = False,
 ):
     """Render one batch of ``spp`` samples; returns (height, width, 3) f32.
 
@@ -195,17 +196,28 @@ def render(
     counts (quantize_count) cached by the caller — passing them avoids a
     device->host pull of scene.valid on every interactive batch.
     ``nee=True`` (v2 only) renders with next-event estimation — direct
-    light via shadow rays at every diffuse hit (ops/integrator.py) — a
-    much lower-variance estimator for the same scene; currently a lax-
-    engine capability (the fused Pallas engines keep the reference
-    estimator), so it overrides auto-dispatch.
+    light via shadow rays at every diffuse hit — a much lower-variance
+    estimator for the same scene. Supported by the lax pipeline
+    (ops/integrator.py) and fused into the megakernel
+    (ops/pallas_megakernel.py); the cluster engine keeps the reference
+    estimator, so auto-dispatch falls back to lax past the megakernel
+    bucket.
+
+    ``stratify=True`` replaces i.i.d. pixel jitter with the R2
+    low-discrepancy lattice under a per-pixel Cranley-Patterson shift:
+    each pixel's spp samples tile its footprint quasi-uniformly (lower AA
+    variance at equal cost; same mean — each sample's marginal stays
+    uniform). Megakernel and lax engines; the cluster engine keeps i.i.d.
+    jitter.
     """
     if nee:
-        if engine in ("pallas", "cluster"):
+        if engine == "cluster":
             raise ValueError(
-                "nee=True is a lax-engine capability; engine="
-                f"{engine!r} does not support it")
-        engine = "lax"
+                "nee=True is not supported by the cluster engine; use "
+                "engine='auto', 'pallas', or 'lax'")
+        if engine == "auto" and select_engine(
+                scene, mode, enable_refraction, gamma, mesh) == "cluster":
+            engine = "lax"
     if enable_dof is None:
         # Auto-detect thin-lens DOF from the camera. The aperture is host
         # data in every interactive path (Camera.to_params builds CameraP
@@ -269,14 +281,14 @@ def render(
             max_depth=max_depth, jitter=jitter,
             enable_refraction=enable_refraction, with_stats=with_stats,
             n_active=n_active, mesh=mesh, n_tri_active=n_tri_active,
-            enable_dof=enable_dof,
+            enable_dof=enable_dof, nee=nee, stratify=stratify,
         )
     return _render_lax(
         scene, cam, key, width=width, height=height, spp=spp,
         max_depth=max_depth, mode=mode, enable_refraction=enable_refraction,
         gamma=gamma, jitter=jitter, with_stats=with_stats, mesh=mesh,
         use_bvh=use_bvh, enable_dof=enable_dof, nee=nee,
-        diffuse_sampling=diffuse_sampling,
+        diffuse_sampling=diffuse_sampling, stratify=stratify,
     )
 
 
@@ -285,23 +297,34 @@ def render(
     static_argnames=(
         "width", "height", "spp", "max_depth", "mode",
         "enable_refraction", "gamma", "jitter", "with_stats", "use_bvh",
-        "enable_dof", "nee", "diffuse_sampling",
+        "enable_dof", "nee", "diffuse_sampling", "stratify",
     ),
 )
 def _render_lax(
     scene, cam, key, *, width, height, spp, max_depth, mode,
     enable_refraction, gamma, jitter, with_stats, mesh, use_bvh=False,
-    enable_dof=False, nee=False, diffuse_sampling="ball",
+    enable_dof=False, nee=False, diffuse_sampling="ball", stratify=False,
 ):
     """XLA lax render pipeline (general path: any estimator mode, meshes,
     linear output, CPU backends)."""
     R = height * width
 
+    if jitter and stratify:
+        # R2 lattice + per-pixel Cranley-Patterson shift (same scheme as
+        # the megakernel — ops/pallas_megakernel.py R2_ALPHA_*)
+        cp_shift = jax.random.uniform(jax.random.fold_in(key, 0x7FFFABCD),
+                                      (height, width, 2), dtype=jnp.float32)
+        r2_alpha = jnp.array([0.7548776662466927, 0.5698402909980532],
+                             jnp.float32)
+
     def sample_pass(carry, s):
         acc, segs = carry
         k_s = jax.random.fold_in(key, s)
         k_jit, k_trace = jax.random.split(k_s)
-        if jitter:
+        if jitter and stratify:
+            xi = cp_shift + s.astype(jnp.float32) * r2_alpha
+            xi = xi - jnp.floor(xi)
+        elif jitter:
             xi = jax.random.uniform(k_jit, (height, width, 2), dtype=jnp.float32)
         else:
             xi = None

@@ -35,12 +35,17 @@ class RenderSettings:
     # (the reference always runs to max_samples).
     noise_target: float = 0.0
     # Beyond-reference: next-event estimation (shadow rays to sampled
-    # lights at every diffuse hit, ops/integrator.py nee=True) — a much
-    # lower-variance estimator (measured 34x vs the reference estimator on
-    # the small-light test scene, tests/test_nee.py). Runs on the lax
-    # engine; the physically-based cosine/Lambertian transport, so the
-    # converged image differs slightly from the reference look.
+    # lights at every diffuse hit) — a much lower-variance estimator
+    # (measured 34x vs the reference estimator on the small-light test
+    # scene, tests/test_nee.py). Fused into the Pallas megakernel
+    # (ops/pallas_megakernel.py nee=True) and in the lax pipeline
+    # (ops/integrator.py); physically-based cosine/Lambertian transport,
+    # so the converged image differs slightly from the reference look.
     nee: bool = False
+    # Beyond-reference: R2 low-discrepancy stratified pixel sampling
+    # (render/frame.py stratify=True) — each pixel's spp samples tile the
+    # footprint quasi-uniformly; lower AA variance at equal cost.
+    stratify: bool = False
 
     # GUI slider ranges (gui.py:167-245): clamp on assignment
     _RANGES = {
