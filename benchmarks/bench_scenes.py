@@ -107,7 +107,8 @@ def main():
     tcam = jax.device_put(
         tpu_rt.make_camera(position=(0, 6, 6), target=(0, 0, -10),
                            aspect=W / H), dev)
-    from tpu_rt.ops.pallas_cluster import build_tri_clusters
+    from tpu_rt.ops.pallas_cluster import (build_tri_clusters,
+                                           ensure_distinct_tables)
     from tpu_rt.render.frame import quantize_count
 
     # n=501 -> 500,000 triangles (the half-million-primitive mesh decade)
@@ -118,8 +119,10 @@ def main():
         tmesh = jax.device_put(tmesh, dev)
         nq = quantize_count(ntri, tmesh.capacity)  # production bucketing
         spre = jax.block_until_ready(build_clusters(sph, n_active=4))
-        tpre = jax.block_until_ready(
-            build_tri_clusters(tmesh, n_active=nq))
+        # eager de-collision pad: same-shaped sph/tri tables are ~12x
+        # slower in-kernel (ensure_distinct_tables)
+        tpre = jax.block_until_ready(ensure_distinct_tables(
+            spre, build_tri_clusters(tmesh, n_active=nq)))
         dt = steady_state(
             lambda s, sph=sph, tmesh=tmesh, nq=nq, spre=spre, tpre=tpre:
             render_cluster(

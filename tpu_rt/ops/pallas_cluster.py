@@ -282,8 +282,18 @@ def _finish_hierarchy(glob_attr, attr, lo, hi, K, C, background):
     box from the just-DMA'd block, so no O(K) box table rides in SMEM —
     at 1M primitives K ~ 15k would need ~500 KB of SMEM otherwise.
     """
+    # Col 6 of every box row is a VALIDITY flag (1 = non-empty). Empty
+    # padding boxes are inverted sentinels (lo=BIG, hi=-BIG) which the
+    # vector slab test treats as ALWAYS CROSSED (min/max of the two slab
+    # t's is corner-order-blind, so every axis yields (-inf, +inf)) — at
+    # small N, where K pads up to a full super-super (FANOUT^2 clusters),
+    # the junk sweeps dominated whole frames (measured 48x on a 1k-tri
+    # terrain at depth 4). Every traversal test ANDs this flag.
+    def _flag(lo_a, hi_a):
+        return (lo_a[:, 0] <= hi_a[:, 0]).astype(jnp.float32)[:, None]
+
     boxes = jnp.concatenate(
-        [lo, hi, jnp.zeros((K, 2), jnp.float32)], axis=-1)
+        [lo, hi, _flag(lo, hi), jnp.zeros((K, 1), jnp.float32)], axis=-1)
     # Super boxes: union over each FANOUT-group of children; empty children
     # carry inverted boxes (lo=BIG, hi=-BIG), so min/max unions stay
     # correct. Same one level up for the super-supers.
@@ -291,12 +301,14 @@ def _finish_hierarchy(glob_attr, attr, lo, hi, K, C, background):
     s_lo = jnp.min(lo.reshape(S, FANOUT, 3), axis=1)
     s_hi = jnp.max(hi.reshape(S, FANOUT, 3), axis=1)
     super_boxes = jnp.concatenate(
-        [s_lo, s_hi, jnp.zeros((S, 2), jnp.float32)], axis=-1)
+        [s_lo, s_hi, _flag(s_lo, s_hi), jnp.zeros((S, 1), jnp.float32)],
+        axis=-1)
     S2 = S // FANOUT
     ss_lo = jnp.min(s_lo.reshape(S2, FANOUT, 3), axis=1)
     ss_hi = jnp.max(s_hi.reshape(S2, FANOUT, 3), axis=1)
     ss_boxes = jnp.concatenate(
-        [ss_lo, ss_hi, jnp.zeros((S2, 2), jnp.float32)], axis=-1)
+        [ss_lo, ss_hi, _flag(ss_lo, ss_hi), jnp.zeros((S2, 1), jnp.float32)],
+        axis=-1)
 
     # attr and glob_attr arrive as INT32 word tables (_pack_attr_cols /
     # _tri_attr_rows) and STAY int32 at rest: bf16-pair words with a zero
@@ -313,7 +325,7 @@ def _finish_hierarchy(glob_attr, attr, lo, hi, K, C, background):
     attr_blocks = jnp.transpose(attr_blocks, (0, 2, 1))  # (K, 16, C)
     attr_blocks = attr_blocks.reshape(K, (C * 16) // LANES, LANES)
     box_row = jnp.zeros((K, 1, LANES), jnp.float32)
-    box_row = box_row.at[:, 0, 0:6].set(boxes[:, 0:6])
+    box_row = box_row.at[:, 0, 0:7].set(boxes[:, 0:7])
     attr_blocks = jnp.concatenate([attr_blocks, _f32_bits(box_row)], axis=1)
     return ClusteredScene(glob_attr=glob_attr,
                           attr=attr_blocks, boxes=boxes,
@@ -415,6 +427,56 @@ def build_tri_clusters(
                              jnp.zeros((3,), jnp.float32))
 
 
+def _pad_empty_block(cl: ClusteredScene) -> ClusteredScene:
+    """Append one FANOUT^2 block of EMPTY clusters (inverted boxes, flag 0,
+    all-zero attr rows) to a clustered scene. Shifts every table shape by
+    one super-super while changing no render output: empty supers fail
+    every phase-A test, so the padding is never visited. Used to keep the
+    sphere and triangle attr tables differently shaped (see render_cluster;
+    identically-shaped tables defeat DMA disambiguation and serialize the
+    visit loop ~12x)."""
+    F2 = FANOUT * FANOUT
+    rows, lanes = cl.attr.shape[1], cl.attr.shape[2]
+    empty_box = jnp.concatenate([
+        jnp.full((3,), BIG, jnp.float32),
+        jnp.full((3,), -BIG, jnp.float32),
+        jnp.zeros((2,), jnp.float32)])
+    return cl._replace(
+        attr=jnp.concatenate(
+            [cl.attr, jnp.zeros((F2, rows, lanes), cl.attr.dtype)]),
+        boxes=jnp.concatenate(
+            [cl.boxes, jnp.broadcast_to(empty_box, (F2, 8))]),
+        super_boxes=jnp.concatenate(
+            [cl.super_boxes, jnp.broadcast_to(empty_box, (FANOUT, 8))]),
+        ss_boxes=jnp.concatenate([cl.ss_boxes, empty_box[None, :]]),
+    )
+
+
+def ensure_distinct_tables(sph: ClusteredScene,
+                           tri: ClusteredScene) -> ClusteredScene:
+    """Return ``tri``, padded by one empty super-super block iff its attr
+    table shape equals the sphere scene's.
+
+    MEASURED PATHOLOGY (TPU v5e, 2026-08): when the sphere and triangle
+    attribute tables reach the cluster kernel with IDENTICAL shapes, the
+    compiler can no longer disambiguate the two dynamic-index DMA streams
+    into the shared SMEM scratch and the cluster-visit loop slows ~12x
+    (1058-tri terrain + demo spheres, both tables (64, 9, 128): 215
+    ms/frame vs 18 ms with any differing cluster count; bit-identical
+    output). Padding one table with a FANOUT^2 block of empty (flag-0)
+    clusters breaks the tie at ~zero cost: empty supers never pass phase
+    A, so the padding is never DMA'd or swept.
+
+    Call this EAGERLY (concrete arrays) on prebuilt tables before passing
+    them into a jit-wrapped render: a traced in-graph pad keeps the slow
+    path (measured 220 ms) — the distinct shape must exist at the
+    compiled computation's parameter level.
+    """
+    if tri.attr.shape == sph.attr.shape:
+        return _pad_empty_block(tri)
+    return tri
+
+
 def _order_near_to_far(cl: ClusteredScene, cam_pos) -> ClusteredScene:
     """Permute supers (and children within each super) by distance from the
     camera. The traversal visits the compacted crossed list in storage
@@ -470,7 +532,7 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                  gamma=True, rr_start=3, hash_rng=False, fast_sweep=False,
                  n_tri_global=0, n_tri_supers=0, square_blocks=False,
                  enable_dof=False, reach_scan=False, n_ss=0, n_tri_ss=0,
-                 cone_scan=True):
+                 cone_scan=True, direct_sph=False, direct_tri=False):
     C = cluster_size
     G = n_global
     S = n_supers
@@ -482,6 +544,13 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
     # O(S), which at 1M primitives (S ~ 2000) dominated every frame.
     S2 = n_ss
     ST2 = n_tri_ss
+    # direct_* (small scenes, K <= 512 clusters): the child-box table fits
+    # SMEM, so phase A compacts crossed supers AND then crossed CHILDREN —
+    # phase B DMAs exactly the crossed clusters (test-before-DMA). The big
+    # path instead DMAs every child of a crossed super and tests the box
+    # row after the copy (no O(K) SMEM table at 1M primitives); at small K
+    # those unconditional DMAs cost more than the sweeps they guard
+    # (measured 7x on a 1k-tri terrain at depth 4).
     BR = (C * 16) // LANES  # block row carrying the cluster's own AABB
     # Screen-block geometry: the same 4096 lanes can cover a 64x64 pixel
     # square instead of a 32x128 strip (square_blocks=True). Measured on
@@ -494,8 +563,9 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
     blk_w, blk_h = (64, 64) if square_blocks else (LANES, SUBLANES)
     blocks_x = -(-width // blk_w)
 
-    def kernel(cam_ref, glob_ref, ssboxes_ref, sboxes_ref, bg_ref, seed_ref,
-               attr_ref, tglob_ref, tssboxes_ref, tsboxes_ref, tattr_ref,
+    def kernel(cam_ref, glob_ref, ssboxes_ref, sboxes_ref, cboxes_ref,
+               bg_ref, seed_ref, attr_ref, tglob_ref, tssboxes_ref,
+               tsboxes_ref, tcboxes_ref, tattr_ref,
                out_ref, segs_ref, best_ref, attr_scratch,
                slist_ref, slist2_ref, count_ref, dma_sem):
         t = pl.program_id(0)
@@ -661,7 +731,7 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                 # reach needs t >= p0 (box above origin range) or
                 # t >= -p1 (box below); inside the slab -> 0
                 lo = jnp.maximum(lo, jnp.maximum(p0, -p1))
-            return lo <= t_cap
+            return (lo <= t_cap) & (sb_ref[ssc * 8 + 6] > 0)
 
         def _cone_box_ok(sb_ref, ssc, t_cap):
             """Bounce-1 scalar interval cone-vs-box test. Conservative:
@@ -688,7 +758,7 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                     jnp.where((dh > 0) | (p0 <= 0), big, -big))
                 lo = jnp.maximum(lo, jnp.maximum(l1, l2))
                 hi = jnp.minimum(hi, jnp.minimum(u1, u2))
-            return hi >= lo
+            return (hi >= lo) & (sb_ref[ssc * 8 + 6] > 0)
 
         def sweep(read, count, best, fast=False):
             """Unrolled sphere sweep updating the best-hit tuple (packed
@@ -812,17 +882,21 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                 return scratch_f[buf, idx // LANES, idx % LANES]
             return _read_cluster
 
-        def _visit_kk(i):
+        def _visit_kk(i, direct):
+            # direct: slist holds crossed CHILD indices; big path: slist
+            # holds crossed supers, expanded to children here
+            if direct:
+                return slist_ref[i]
             return slist_ref[i // FANOUT] * FANOUT + i % FANOUT
 
         def _dma(i, buf):
             return pltpu.make_async_copy(
-                attr_ref.at[_visit_kk(i)], attr_scratch.at[buf],
+                attr_ref.at[_visit_kk(i, direct_sph)], attr_scratch.at[buf],
                 dma_sem.at[buf])
 
         def _dma_tri(i, buf):
             return pltpu.make_async_copy(
-                tattr_ref.at[_visit_kk(i)], attr_scratch.at[buf],
+                tattr_ref.at[_visit_kk(i, direct_tri)], attr_scratch.at[buf],
                 dma_sem.at[buf])
 
         # ---- bounce loop (unrolled; one fori level stays free for the
@@ -892,7 +966,7 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
             # the (single-copy) sweep behind a per-cluster child-box test
             # read from the just-DMA'd block (row BR). Register pressure
             # stays low because the sweep body exists exactly once.
-            def _make_cluster_visit(dma, sweep_fn):
+            def _make_cluster_visit(dma, sweep_fn, direct):
                 def cluster_visit(i, visits):
                     buf = jax.lax.rem(i, 2)
                     # consume this buffer's in-flight prefetch, then
@@ -904,12 +978,25 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                     def _():
                         dma(i + 1, 1 - buf).start()
 
+                    if direct:
+                        # phase A already tested this child's box
+                        # (test-before-DMA): sweep unconditionally
+                        best_s = tuple(best_ref[i2] for i2 in range(10))
+                        best_s = sweep_fn(_make_read_cluster(buf), C, best_s,
+                                          fast=fast_sweep)
+                        for i2, plane in enumerate(best_s):
+                            best_ref[i2] = plane
+                        return visits
+
                     crossed = slab6(
                         scratch_f[buf, BR, 0], scratch_f[buf, BR, 1],
                         scratch_f[buf, BR, 2], scratch_f[buf, BR, 3],
                         scratch_f[buf, BR, 4], scratch_f[buf, BR, 5])
+                    # lane 6 = validity: padding clusters (inverted box)
+                    # must not sweep — the slab test crosses them always
+                    real = scratch_f[buf, BR, 6] > 0
 
-                    @pl.when(jnp.any(crossed))
+                    @pl.when(real & jnp.any(crossed))
                     def _():
                         best_s = tuple(best_ref[i2] for i2 in range(10))
                         best_s = sweep_fn(_make_read_cluster(buf), C, best_s,
@@ -931,10 +1018,13 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
             use_cone = cone_scan and depth_idx == 1
             use_reach = reach_scan and depth_idx > 1
 
-            def _scan(ssb_ref, n_ss_g, sb_ref, n_s_g):
-                """Phase A: compact crossed super indices into slist_ref.
+            def _scan(ssb_ref, n_ss_g, sb_ref, n_s_g, cb_ref, direct):
+                """Phase A: compact crossed indices into slist_ref.
                 With the third level (n_ss_g > 0): scan super-supers into
-                slist2_ref, then test only crossed parents' FANOUT supers."""
+                slist2_ref, then test only crossed parents' FANOUT supers
+                (slist holds SUPER indices). With ``direct``: scan supers
+                into slist2_ref, then test crossed parents' FANOUT child
+                boxes from the SMEM table (slist holds CHILD indices)."""
                 if use_cone:
                     t_cap = jnp.max(best_ref[0])
 
@@ -961,7 +1051,10 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                     unroll = 4
                 else:
                     def test(ref, i):
-                        return jnp.any(slab(ref, i))
+                        # the flag guards the corner-order-blind vector slab
+                        # against empty (inverted) padding boxes, which it
+                        # would otherwise report as crossed by every ray
+                        return jnp.any(slab(ref, i)) & (ref[i * 8 + 6] > 0)
 
                     unroll = 1
 
@@ -985,26 +1078,34 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
 
                     jax.lax.fori_loop(0, -(-n_boxes // unroll), body, 0)
 
-                count_ref[0] = 0
-                if n_ss_g:
-                    count_ref[1] = 0
-                    _compact(ssb_ref, n_ss_g, slist2_ref, 1)
-
+                def _expand_into_slist(upper_ref):
+                    """Test crossed parents' FANOUT children of
+                    ``upper_ref`` into slist_ref."""
                     def expand(i, _):
                         parent = slist2_ref[i]
                         # static 8-child unroll amortizes the fori overhead
                         for k in range(FANOUT):
-                            s_idx = parent * FANOUT + k
+                            c_idx = parent * FANOUT + k
 
-                            @pl.when(test(sb_ref, s_idx))
+                            @pl.when(test(upper_ref, c_idx))
                             def _():
                                 idx = count_ref[0]
-                                slist_ref[idx] = s_idx
+                                slist_ref[idx] = c_idx
                                 count_ref[0] = idx + 1
 
                         return 0
 
                     jax.lax.fori_loop(0, count_ref[1], expand, 0)
+
+                count_ref[0] = 0
+                if direct:
+                    count_ref[1] = 0
+                    _compact(sb_ref, n_s_g, slist2_ref, 1)
+                    _expand_into_slist(cb_ref)
+                elif n_ss_g:
+                    count_ref[1] = 0
+                    _compact(ssb_ref, n_ss_g, slist2_ref, 1)
+                    _expand_into_slist(sb_ref)
                 else:
                     _compact(sb_ref, n_s_g, slist_ref, 0)
 
@@ -1014,8 +1115,10 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                 # SMEM visit lists, DMA scratch and the running best planes
                 # (the sphere phase's best_t prunes triangle boxes too)
                 if S:
-                    _scan(ssboxes_ref, S2, sboxes_ref, S)
-                    visits = count_ref[0] * FANOUT
+                    _scan(ssboxes_ref, S2, sboxes_ref, S, cboxes_ref,
+                          direct_sph)
+                    visits = (count_ref[0] if direct_sph
+                              else count_ref[0] * FANOUT)
 
                     @pl.when(visits > 0)
                     def _():
@@ -1023,10 +1126,13 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
 
                     jax.lax.fori_loop(
                         0, visits,
-                        _make_cluster_visit(_dma, sweep), visits)
+                        _make_cluster_visit(_dma, sweep, direct_sph),
+                        visits)
                 if ST:
-                    _scan(tssboxes_ref, ST2, tsboxes_ref, ST)
-                    tvisits = count_ref[0] * FANOUT
+                    _scan(tssboxes_ref, ST2, tsboxes_ref, ST, tcboxes_ref,
+                          direct_tri)
+                    tvisits = (count_ref[0] if direct_tri
+                               else count_ref[0] * FANOUT)
 
                     @pl.when(tvisits > 0)
                     def _():
@@ -1034,7 +1140,7 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
 
                     jax.lax.fori_loop(
                         0, tvisits,
-                        _make_cluster_visit(_dma_tri, tri_sweep),
+                        _make_cluster_visit(_dma_tri, tri_sweep, direct_tri),
                         tvisits)
 
             (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
@@ -1253,6 +1359,12 @@ def render_cluster(
     # ``use_third_level`` overrides the size heuristic (benchmarks/debug).
     third = (S > 64) if use_third_level is None else use_third_level
     S2 = clustered.n_ss if third else 0
+    # Small scenes (child-box table fits SMEM): phase A compacts crossed
+    # CHILDREN too and phase B DMAs only those (test-before-DMA) — the big
+    # path's DMA-every-child-of-a-crossed-super costs more than the sweeps
+    # it guards below ~32k primitives (see _make_kernel).
+    K = clustered.n_clusters
+    direct_sph = (not third) and K <= 512
 
     if mesh is not None or tri_prebuilt is not None:
         tri = tri_prebuilt if tri_prebuilt is not None else (
@@ -1262,16 +1374,24 @@ def render_cluster(
         tri = _order_near_to_far(tri, cam.position)
         ST = tri.n_supers
         GT = tri.n_global
-        ST2 = tri.n_ss if ((ST > 64) if use_third_level is None
-                           else use_third_level) else 0
+        tri_third = ((ST > 64) if use_third_level is None
+                     else use_third_level)
+        ST2 = tri.n_ss if tri_third else 0
+        KT = tri.n_clusters
+        direct_tri = (not tri_third) and KT <= 512
         tglob, tssboxes, tsboxes, tattr = (tri.glob_attr, tri.ss_boxes,
                                            tri.super_boxes, tri.attr)
+        tcboxes = tri.boxes if direct_tri else jnp.zeros((1, 8), jnp.float32)
     else:
-        ST = GT = ST2 = 0
+        ST = GT = ST2 = KT = 0
+        direct_tri = False
         tglob = jnp.zeros((1, 16), jnp.int32)
         tssboxes = jnp.zeros((1, 8), jnp.float32)
         tsboxes = jnp.zeros((1, 8), jnp.float32)
+        tcboxes = jnp.zeros((1, 8), jnp.float32)
         tattr = jnp.zeros((1, (C * 16) // LANES + 1, LANES), jnp.int32)
+    cboxes = (clustered.boxes if direct_sph
+              else jnp.zeros((1, 8), jnp.float32))
 
     out_rows = height if rows is None else rows
     blk_w, blk_h = (64, 64) if square_blocks else (LANES, SUBLANES)
@@ -1293,7 +1413,8 @@ def render_cluster(
                           n_tri_global=GT, n_tri_supers=ST,
                           square_blocks=square_blocks,
                           enable_dof=enable_dof, reach_scan=reach_scan,
-                          n_ss=S2, n_tri_ss=ST2, cone_scan=cone_scan)
+                          n_ss=S2, n_tri_ss=ST2, cone_scan=cone_scan,
+                          direct_sph=direct_sph, direct_tri=direct_tri)
 
     # The attribute tables are DMA'd per cluster into SMEM scratch, so they
     # need not be VMEM-resident: past ~8 MB (>~100k primitives) they live
@@ -1310,12 +1431,14 @@ def render_cluster(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # global attrs
             pl.BlockSpec(memory_space=pltpu.SMEM),   # super-super boxes
             pl.BlockSpec(memory_space=pltpu.SMEM),   # super boxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # child boxes (direct)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # background
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
             pl.BlockSpec(memory_space=_table_space(clustered.attr)),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tri global attrs
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tri super-super boxes
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tri super boxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri child boxes
             pl.BlockSpec(memory_space=_table_space(tattr)),
         ],
         out_specs=(
@@ -1336,16 +1459,21 @@ def render_cluster(
             pltpu.VMEM((10, SUBLANES, LANES), jnp.float32),
             # attr DMA double-buffer: int32 words like the tables
             pltpu.SMEM((2, (C * 16) // LANES + 1, LANES), jnp.int32),
-            pltpu.SMEM((max(S, ST, 1),), jnp.int32),
-            pltpu.SMEM((max(S2, ST2, 1),), jnp.int32),
+            # slist: crossed CHILDREN on the direct path, else supers
+            pltpu.SMEM((max(K if direct_sph else S,
+                            KT if direct_tri else ST, 1),), jnp.int32),
+            # slist2: crossed supers (direct) or super-supers (third level)
+            pltpu.SMEM((max(S2, ST2, S if direct_sph else 1,
+                            ST if direct_tri else 1, 1),), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         # box tables flattened to 1D: 2D SMEM arrays pad rows to 512 B
     )(cam_packed, clustered.glob_attr, clustered.ss_boxes.reshape(-1),
-      clustered.super_boxes.reshape(-1), bg, seed_arr, clustered.attr,
-      tglob, tssboxes.reshape(-1), tsboxes.reshape(-1), tattr)
+      clustered.super_boxes.reshape(-1), cboxes.reshape(-1), bg, seed_arr,
+      clustered.attr, tglob, tssboxes.reshape(-1), tsboxes.reshape(-1),
+      tcboxes.reshape(-1), tattr)
 
     # reassemble screen blocks -> image (band)
     if square_blocks:
