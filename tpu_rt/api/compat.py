@@ -378,6 +378,7 @@ class RayTracer:
         # Observability: engine + intersector the last render() resolved to.
         self._last_engine: str | None = None
         self._last_use_bvh: bool | None = None
+        self._last_adaptive: bool = False
         # Optional triangle mesh rendered alongside the sphere scene
         # (beyond-reference capability; the nearer surface wins per bounce).
         self._mesh = None
@@ -456,12 +457,18 @@ class RayTracer:
         return np.asarray(img).reshape(-1)
 
     def render_device(self, width: int, height: int, samples_per_pixel: int,
-                      max_depth: int):
+                      max_depth: int, tile_mask=None):
         """Same batch as :meth:`render` but returned as the DEVICE-resident
         (h, w, 3) array (or None for an empty scene) — the interactive loop
         accumulates and post-processes on device and pulls one stacked
         display frame per batch (render/display.py), instead of the
-        reference's pull-per-batch (interaction.py:1294-1306)."""
+        reference's pull-per-batch (interaction.py:1294-1306).
+
+        ``tile_mask`` (adaptive sampling, megakernel engine only): int32
+        (n_tiles,) — tiles with 0 are skipped at ~zero cost and return
+        zeros; merge with render/frame.accumulate_tiled. Ignored (with
+        ``_last_adaptive = False``) when the batch resolves to another
+        engine."""
         self.camera.aspect_ratio = width / height
         if self._scene_arrays is None or not self._scene_snapshot.spheres:
             return None
@@ -487,6 +494,9 @@ class RayTracer:
             engine = "lax"
         self._last_engine = engine
         self._last_use_bvh = use_bvh and engine == "lax"
+        self._last_adaptive = tile_mask is not None and engine == "pallas"
+        if not self._last_adaptive:
+            tile_mask = None
         img = _F.render(
             self._scene_arrays, self.camera.to_params(), key,
             width=width, height=height, spp=samples_per_pixel,
@@ -501,6 +511,7 @@ class RayTracer:
             engine=engine,
             nee=self._nee,
             stratify=self._stratify,
+            tile_mask=tile_mask,
         )
         self._debug.render_count += 1
         return img

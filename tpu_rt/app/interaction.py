@@ -835,10 +835,22 @@ class RayTracerInteraction:
         auto-stops once the accumulated image's mean absolute change per
         batch stays below the target for two consecutive batches — the
         image has converged and further samples are invisible. Costs one
-        device scalar pull per batch, only while the feature is on."""
+        device scalar pull per batch, only while the feature is on.
+
+        With ``settings["adaptive_tiles"]`` additionally on (megakernel
+        engine only), convergence is tracked PER 4096-ray TILE: tiles whose
+        mean change stays below ``noise_target`` for two consecutive
+        batches stop being sampled (the kernel skips them at ~zero cost,
+        render_pallas(tile_mask=...)), so the batch budget concentrates on
+        the noisy tiles — soft shadows, caustic whorls — instead of the
+        long-converged sky. The whole frame stops when every tile has."""
         self._converged = False
         prev_acc = None
         conv_streak = 0
+        # per-tile adaptive state (lazily initialized once the engine is
+        # known; numpy-side mask/streak, device-side counts)
+        tile_mask = tile_counts = tile_streak = None
+        self._active_tiles = None
         try:
             import jax
             import jax.numpy as jnp
@@ -846,6 +858,16 @@ class RayTracerInteraction:
             while (self.render_state.is_rendering
                    and self.total_samples < self.settings["max_samples"]):
                 start = time.time()
+                nt = float(self.settings.get("noise_target", 0.0))
+                adaptive = (bool(self.settings.get("adaptive_tiles", False))
+                            and nt > 0.0)
+                if adaptive and tile_mask is None:
+                    from ..ops.pallas_megakernel import TILE
+
+                    n_tiles = -(-(self.width * self.height) // TILE)
+                    tile_mask = np.ones((n_tiles,), np.int32)
+                    tile_counts = jnp.zeros((n_tiles,), jnp.float32)
+                    tile_streak = np.zeros((n_tiles,), np.int32)
                 with self.render_lock:
                     # estimator toggle rides the settings dict like every
                     # other knob (reference contract); sync before the batch
@@ -860,6 +882,8 @@ class RayTracerInteraction:
                         self.width, self.height,
                         self.settings["samples_per_batch"],
                         self.settings["max_depth"],
+                        tile_mask=(jnp.asarray(tile_mask)
+                                   if adaptive else None),
                     )
                 if batch is None:
                     time.sleep(0.05)
@@ -867,6 +891,37 @@ class RayTracerInteraction:
                 batch = jax.block_until_ready(batch)
                 render_time = time.time() - start
                 n = self.settings["samples_per_batch"]
+                adaptive = adaptive and self.ray_tracer._last_adaptive
+                if adaptive:
+                    from ..ops.pallas_megakernel import TILE
+                    from ..render.frame import accumulate_tiled
+
+                    if self._acc_dev is None:
+                        self._acc_dev = jnp.zeros(
+                            (self.height, self.width, 3), jnp.float32)
+                    active = tile_mask > 0
+                    self.frame_stats.record(
+                        max(render_time, 1e-9),
+                        int(active.sum()) * TILE * n)
+                    mask_dev = jnp.asarray(tile_mask)
+                    self._acc_dev, tile_counts, change = accumulate_tiled(
+                        self._acc_dev, tile_counts, batch, mask_dev, n,
+                        TILE)
+                    self.total_samples = int(
+                        np.max(np.asarray(tile_counts)))
+                    ch = np.asarray(change)  # one small (n_tiles,) pull
+                    tile_streak = np.where(active & (ch < nt),
+                                           tile_streak + 1, 0)
+                    tile_mask = (active & (tile_streak < 2)).astype(
+                        np.int32)
+                    self._active_tiles = int(tile_mask.sum())
+                    self._process_frame_for_display(render_time,
+                                                    batch_start=start)
+                    if self._active_tiles == 0:
+                        self._converged = True
+                        break
+                    time.sleep(0.005)
+                    continue
                 self.frame_stats.record(
                     max(render_time, 1e-9), self.width * self.height * n)
                 from ..render.frame import accumulate
@@ -875,8 +930,6 @@ class RayTracerInteraction:
                     self._acc_dev, self.total_samples, batch, n)
                 self._process_frame_for_display(render_time,
                                                 batch_start=start)
-                nt = float(self.settings["noise_target"]
-                           if "noise_target" in self.settings else 0.0)
                 if nt > 0.0:
                     if prev_acc is not None:
                         delta = float(jnp.mean(

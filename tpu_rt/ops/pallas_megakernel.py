@@ -125,7 +125,7 @@ def _dot3(ax, ay, az, bx, by, bz):
 def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                  jitter=True, enable_refraction=False, gamma=True,
                  rr_start=3, hash_rng=False, enable_dof=False, nee=False,
-                 stratify=False):
+                 stratify=False, adaptive=False):
     """Build the kernel body for static (w, h, spp, depth, N).
 
     ``hash_rng=True`` swaps the hardware PRNG for the counter-hash RNG
@@ -137,7 +137,11 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
     ops/integrator.py trace(nee=True), stream-different)."""
 
     def kernel(cam_ref, attr_ref, tri_geo_ref, tri_mat_ref, bg_ref,
-               seed_ref, out_ref, segs_ref):
+               seed_ref, *rest):
+        if adaptive:
+            mask_ref, out_ref, segs_ref = rest
+        else:
+            out_ref, segs_ref = rest
         t = pl.program_id(0)
         # unique, deterministic stream per (frame, tile); params_ref carries
         # [seed, pixel_offset] (offset > 0 when rendering a sharded row
@@ -644,24 +648,48 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
              seg_count) = state
             return (acc_r + col_r, acc_g + col_g, acc_b + col_b, seg_count)
 
-        zeros = jnp.zeros(shape, jnp.float32)
-        acc_r, acc_g, acc_b, segs = jax.lax.fori_loop(
-            0, spp, sample_body, (zeros, zeros, zeros, jnp.int32(0)))
-        segs_ref[t] = segs
+        def run_tile():
+            zeros = jnp.zeros(shape, jnp.float32)
+            acc_r, acc_g, acc_b, segs = jax.lax.fori_loop(
+                0, spp, sample_body, (zeros, zeros, zeros, jnp.int32(0)))
+            segs_ref[t] = segs
 
-        inv_spp = 1.0 / spp
-        if gamma:
-            out_ref[0, 0] = jnp.clip(
-                jnp.sqrt(jnp.maximum(acc_r * inv_spp, 0.0)), 0.0, 1.0)
-            out_ref[1, 0] = jnp.clip(
-                jnp.sqrt(jnp.maximum(acc_g * inv_spp, 0.0)), 0.0, 1.0)
-            out_ref[2, 0] = jnp.clip(
-                jnp.sqrt(jnp.maximum(acc_b * inv_spp, 0.0)), 0.0, 1.0)
+            inv_spp = 1.0 / spp
+            if gamma:
+                out_ref[0, 0] = jnp.clip(
+                    jnp.sqrt(jnp.maximum(acc_r * inv_spp, 0.0)), 0.0, 1.0)
+                out_ref[1, 0] = jnp.clip(
+                    jnp.sqrt(jnp.maximum(acc_g * inv_spp, 0.0)), 0.0, 1.0)
+                out_ref[2, 0] = jnp.clip(
+                    jnp.sqrt(jnp.maximum(acc_b * inv_spp, 0.0)), 0.0, 1.0)
+            else:
+                # linear mean (for cross-device psum merging before gamma)
+                out_ref[0, 0] = acc_r * inv_spp
+                out_ref[1, 0] = acc_g * inv_spp
+                out_ref[2, 0] = acc_b * inv_spp
+
+        if adaptive:
+            # per-tile early-exit: converged tiles (mask 0) skip the whole
+            # trace — the scalar core branches around all vector work, so a
+            # skipped tile costs ~nothing of the frame budget. The zero
+            # write keeps the (uninitialized) output block defined; the
+            # accumulator ignores masked tiles (render/frame.py
+            # accumulate_tiled).
+            tile_on = mask_ref[t] > 0
+
+            @pl.when(tile_on)
+            def _():
+                run_tile()
+
+            @pl.when(jnp.logical_not(tile_on))
+            def _():
+                z = jnp.zeros(shape, jnp.float32)
+                out_ref[0, 0] = z
+                out_ref[1, 0] = z
+                out_ref[2, 0] = z
+                segs_ref[t] = jnp.int32(0)
         else:
-            # linear mean (for cross-device psum merging before gamma)
-            out_ref[0, 0] = acc_r * inv_spp
-            out_ref[1, 0] = acc_g * inv_spp
-            out_ref[2, 0] = acc_b * inv_spp
+            run_tile()
 
     return kernel
 
@@ -712,6 +740,7 @@ def render_pallas(
     vma: tuple[str, ...] | None = None,
     nee: bool = False,
     stratify: bool = False,
+    tile_mask: jnp.ndarray | None = None,
 ):
     """Fused single-chip render; returns (height, width, 3) f32 in [0, 1].
 
@@ -768,22 +797,29 @@ def render_pallas(
     seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
                           pix_offset]).reshape(2)
 
+    adaptive = tile_mask is not None
     kernel = _make_kernel(width, height, spp, max_depth, n_spheres,
                           n_tris=n_tris, jitter=jitter,
                           enable_refraction=enable_refraction, gamma=gamma,
                           hash_rng=interpret, enable_dof=enable_dof, nee=nee,
-                          stratify=stratify)
+                          stratify=stratify, adaptive=adaptive)
+    inputs = [cam_packed, attr, tri_geo, tri_mat, bg, seed_arr]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # camera scalars
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere attributes
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # triangle geometry
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # triangle materials
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # background
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+    ]
+    if adaptive:
+        # per-tile render mask (adaptive sampling): 0 = converged, skip
+        inputs.append(jnp.asarray(tile_mask, jnp.int32).reshape(n_tiles))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     out, segs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # camera scalars
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere attributes
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # triangle geometry
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # triangle materials
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # background
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
                 (3, 1, SUBLANES, LANES), lambda t: (0, t, 0, 0),
@@ -803,7 +839,7 @@ def render_pallas(
                                  vma=None if vma is None else frozenset(vma)),
         ),
         interpret=interpret,
-    )(cam_packed, attr, tri_geo, tri_mat, bg, seed_arr)
+    )(*inputs)
 
     img = out.reshape(3, n_tiles * TILE)[:, :n_pix]
     img = jnp.moveaxis(img, 0, -1).reshape(out_rows, width, 3)

@@ -176,6 +176,7 @@ def render(
     nee: bool = False,
     diffuse_sampling: str = "ball",
     stratify: bool = False,
+    tile_mask=None,
 ):
     """Render one batch of ``spp`` samples; returns (height, width, 3) f32.
 
@@ -209,6 +210,10 @@ def render(
     variance at equal cost; same mean — each sample's marginal stays
     uniform). Megakernel and lax engines; the cluster engine keeps i.i.d.
     jitter.
+
+    ``tile_mask`` (megakernel only): (n_tiles,) int32 adaptive-sampling
+    mask — tiles with 0 are skipped at ~zero cost and return zeros; merge
+    the result with :func:`accumulate_tiled`.
     """
     if nee:
         if engine == "cluster":
@@ -231,6 +236,10 @@ def render(
 
     resolved = select_engine(scene, mode, enable_refraction, gamma, mesh,
                              engine)
+    if tile_mask is not None and resolved != "pallas":
+        raise ValueError(
+            "tile_mask (adaptive sampling) is a megakernel capability; "
+            f"this configuration resolves to engine={resolved!r}")
     # Warn (once) only when actually rendering: querying select_engine is
     # side-effect free, and forced engine= choices are deliberate.
     if (resolved == "lax" and engine == "auto" and mode == "v2" and gamma
@@ -256,16 +265,24 @@ def render(
 
     if resolved == "cluster":
         from ..ops.pallas_cluster import (
-            build_clusters, build_tri_clusters, render_cluster)
+            build_clusters, build_tri_clusters, ensure_distinct_tables,
+            render_cluster)
 
         prebuilt = _cached_clusters(
             lambda s: build_clusters(s, n_active=n_active),
             scene, scene.center, ("sph", scene.capacity, n_active))
         tri_prebuilt = None
         if mesh is not None:
+            # the pad must happen at this (eager, memoized) layer: a
+            # same-shaped tri table costs ~12x in the kernel, and an
+            # in-trace pad does not reach the fast path (see
+            # ensure_distinct_tables)
             tri_prebuilt = _cached_clusters(
-                lambda m: build_tri_clusters(m, n_active=n_tri_active),
-                mesh, mesh.v0, ("tri", mesh.capacity, n_tri_active))
+                lambda m: ensure_distinct_tables(
+                    prebuilt, build_tri_clusters(m, n_active=n_tri_active)),
+                mesh, mesh.v0,
+                ("tri", mesh.capacity, n_tri_active,
+                 prebuilt.attr.shape))
         return render_cluster(
             scene, cam, seed, width=width, height=height, spp=spp,
             max_depth=max_depth, jitter=jitter,
@@ -282,6 +299,7 @@ def render(
             enable_refraction=enable_refraction, with_stats=with_stats,
             n_active=n_active, mesh=mesh, n_tri_active=n_tri_active,
             enable_dof=enable_dof, nee=nee, stratify=stratify,
+            tile_mask=tile_mask,
         )
     return _render_lax(
         scene, cam, key, width=width, height=height, spp=spp,
@@ -380,6 +398,50 @@ def enhance_contrast(image: jnp.ndarray) -> jnp.ndarray:
 def _weighted_merge(acc, batch, w_old, w_new):
     # one fused device op; weights are traced scalars (no retrace per batch)
     return acc * w_old + batch * w_new
+
+
+# ---- adaptive tile sampling (beyond-reference) -----------------------------
+# The megakernel renders in 4096-ray tiles (ops/pallas_megakernel.TILE); the
+# progressive loop can stop sampling tiles whose accumulated image has
+# converged (render_pallas(tile_mask=...) skips them at ~zero cost). These
+# helpers keep the per-tile bookkeeping on device: a weighted merge with
+# PER-TILE sample counts, and the per-tile change metric the controller
+# thresholds on. One small (n_tiles,) pull per batch.
+
+def _pixel_weights(tile_vals, n_pix, shape3):
+    """(n_tiles,) per-tile values -> (h, w, 1) per-pixel plane (tiles are
+    contiguous runs of TILE pixels in scan order)."""
+    from ..ops.pallas_megakernel import TILE
+
+    per_pix = jnp.repeat(tile_vals, TILE)[:n_pix]
+    return per_pix.reshape(shape3[0], shape3[1], 1)
+
+
+@partial(jax.jit, static_argnames=("tile_px",))
+def accumulate_tiled(acc, counts, batch, tile_mask, n_new, tile_px):
+    """Per-tile progressive merge: active tiles blend batch in by their
+    sample counts, converged tiles keep their accumulated value.
+
+    acc: (h, w, 3); counts: (n_tiles,) f32 samples accumulated per tile;
+    batch: (h, w, 3) from render_pallas(tile_mask=...) (zeros in masked
+    tiles); tile_mask: (n_tiles,) int32. Returns (acc', counts',
+    tile_change) where tile_change is the mean |batch - acc| per ACTIVE
+    tile (the convergence metric, matching the app's noise_target scale).
+    """
+    h, w, _ = acc.shape
+    n_pix = h * w
+    on = tile_mask.astype(jnp.float32)
+    new_counts = counts + on * n_new
+    w_new = jnp.where(new_counts > 0, n_new / jnp.maximum(new_counts, 1.0),
+                      0.0) * on
+    w_px = _pixel_weights(w_new, n_pix, (h, w))
+    acc_new = acc + (batch - acc) * w_px
+
+    diff = jnp.mean(jnp.abs(batch - acc), axis=-1).reshape(-1)
+    pad = counts.shape[0] * tile_px - n_pix
+    diff = jnp.concatenate([diff, jnp.zeros((pad,), diff.dtype)])
+    tile_change = diff.reshape(counts.shape[0], tile_px).mean(axis=-1)
+    return acc_new, new_counts, tile_change * on
 
 
 def accumulate(
