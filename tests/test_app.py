@@ -62,7 +62,8 @@ def test_progressive_render_to_completion(rti):
     assert last["mode"] == "raytracing"
     img = last["display"]
     assert img.shape == (36, 48, 3)
-    assert img.max() > 0.05  # scene is lit
+    assert img.dtype == np.uint8  # quantized on device (render/display.py)
+    assert img.max() > 12  # scene is lit (uint8 scale)
     assert last["enhanced"].shape == img.shape
 
 
@@ -299,8 +300,8 @@ def test_linear_accumulation_mode():
         rt = [f for f in frames if "display" in f]
         assert rt
         img = rt[-1]["display"]
-        assert img.min() >= 0 and img.max() <= 1
-        assert img.max() > 0.05
+        assert img.dtype == np.uint8  # display frames are uint8 RGB
+        assert img.max() > 12
         # accumulator itself is linear (unbounded emissives allowed)
         assert r.accumulated_image is not None
     finally:

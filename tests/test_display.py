@@ -53,6 +53,17 @@ def test_stack_unknown_method_raises(acc):
         display_stack(acc, 1.0, methods=("nope",))
 
 
+def test_stack_uint8_quantizes_on_device(acc):
+    """as_uint8=True returns the same stack quantized to uint8 (the wire
+    format for the interactive display pull — 4x less tunnel traffic)."""
+    f32 = np.asarray(display_stack(acc, 1.3, methods=("gaussian",)))
+    u8 = np.asarray(display_stack(acc, 1.3, methods=("gaussian",),
+                                  as_uint8=True))
+    assert u8.dtype == np.uint8 and u8.shape == f32.shape
+    np.testing.assert_array_equal(
+        u8, np.round(np.clip(f32, 0.0, 1.0) * 255).astype(np.uint8))
+
+
 def test_display_error_isolation_still_ships_frame(monkeypatch):
     """A denoiser stage blowing up mid-session must degrade to the plain
     tone-mapped frame, not silently drop every subsequent frame."""

@@ -379,6 +379,9 @@ class RayTracer:
         self._last_engine: str | None = None
         self._last_use_bvh: bool | None = None
         self._last_adaptive: bool = False
+        # Per-static-config jitted batch steps (render_device): one
+        # compiled computation -> one dispatch per interactive batch.
+        self._jit_steps: dict = {}
         # Optional triangle mesh rendered alongside the sphere scene
         # (beyond-reference capability; the nearer surface wins per bounce).
         self._mesh = None
@@ -497,22 +500,50 @@ class RayTracer:
         self._last_adaptive = tile_mask is not None and engine == "pallas"
         if not self._last_adaptive:
             tile_mask = None
-        img = _F.render(
-            self._scene_arrays, self.camera.to_params(), key,
+        statics = dict(
             width=width, height=height, spp=samples_per_pixel,
             max_depth=max_depth, mode=self._mode,
             enable_refraction=self._enable_refraction,
-            gamma=not self._linear,
-            seed=seed,
-            use_bvh=use_bvh,
-            n_active=self._n_active,
-            mesh=self._mesh,
-            n_tri_active=self._n_tri_active,
-            engine=engine,
-            nee=self._nee,
-            stratify=self._stratify,
-            tile_mask=tile_mask,
+            gamma=not self._linear, use_bvh=use_bvh,
+            n_active=self._n_active, n_tri_active=self._n_tri_active,
+            engine=engine, nee=self._nee, stratify=self._stratify,
+            # resolved host-side so the jitted step stays static
+            enable_dof=float(getattr(self.camera, "aperture", 0.0)
+                             or 0.0) > 0.0,
         )
+        if engine in ("pallas", "lax"):
+            # One compiled computation per static config: an interactive
+            # batch is ONE dispatch over the tunneled chip instead of a
+            # dozen eager ops (camera packing, seed arrays, reshapes each
+            # pay the host<->device RTT; measured ~2x lower batch latency
+            # at the reference's 640x480 interactive workload). The
+            # cluster engine stays eager: its memoized prebuilt tables
+            # must enter the computation as concrete parameters
+            # (ops/pallas_cluster.ensure_distinct_tables).
+            ck = (tuple(sorted(statics.items())), self._mesh is not None,
+                  tile_mask is not None)
+            fn = self._jit_steps.get(ck)
+            if fn is None:
+                if tile_mask is None:
+                    def fn(sa, cp, seed32, mesh, _st=dict(statics)):
+                        return _F.render(sa, cp, jax.random.key(seed32),
+                                         seed=seed32, mesh=mesh, **_st)
+                else:
+                    def fn(sa, cp, seed32, mesh, mask, _st=dict(statics)):
+                        return _F.render(sa, cp, jax.random.key(seed32),
+                                         seed=seed32, mesh=mesh,
+                                         tile_mask=mask, **_st)
+                fn = jax.jit(fn, static_argnames=())
+                self._jit_steps[ck] = fn
+            args = [self._scene_arrays, self.camera.to_params(),
+                    np.int32(seed), self._mesh]
+            if tile_mask is not None:
+                args.append(tile_mask)
+            img = fn(*args)
+        else:
+            img = _F.render(
+                self._scene_arrays, self.camera.to_params(), key,
+                seed=seed, mesh=self._mesh, tile_mask=tile_mask, **statics)
         self._debug.render_count += 1
         return img
 

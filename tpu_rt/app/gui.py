@@ -225,6 +225,16 @@ class ControlPanel(QTabWidget if HAVE_QT else object):
         strat.setChecked(bool(st.get("stratify", False)))
         strat.toggled.connect(lambda b: self._set("stratify", b))
         lay.addWidget(strat)
+        # beyond-reference convergence controls: auto-stop target and
+        # per-tile adaptive sampling (app/interaction.py:_render_worker)
+        self._spin(lay, "Noise Target (0=off)", 0.0, 0.2,
+                   float(st.get("noise_target", 0.0)),
+                   lambda v: self._set("noise_target", v), double=True,
+                   step=0.005)
+        adap = QCheckBox("Adaptive Tile Sampling")
+        adap.setChecked(bool(st.get("adaptive_tiles", False)))
+        adap.toggled.connect(lambda b: self._set("adaptive_tiles", b))
+        lay.addWidget(adap)
         res = QHBoxLayout()
         self.res_w = QSpinBox(); self.res_w.setRange(64, 3840)
         self.res_w.setValue(self.rt.width)

@@ -1004,17 +1004,19 @@ class RayTracerInteraction:
         semantics); ``batch_start`` additionally stamps the frame with
         ``frame_latency`` = batch start -> enqueue, covering the display
         pipeline + denoisers + host pull (what the user actually waits)."""
+        from .panel_logic import to_uint8
+
         mode = self.render_state.current_mode
         denoised: Dict[str, np.ndarray] = {}
         self._d2h_last_frame = 0
         if mode == RenderMode.SILHOUETTE:
-            display = self.renderer.render_silhouette(
-                self.object_dragger.selected_object_id)
+            display = to_uint8(self.renderer.render_silhouette(
+                self.object_dragger.selected_object_id))
             enhanced = display
             mode_str = "silhouette"
         elif mode == RenderMode.WIREFRAME:
-            display = self.renderer.render_wireframe(
-                self.object_dragger.selected_object_id)
+            display = to_uint8(self.renderer.render_wireframe(
+                self.object_dragger.selected_object_id))
             enhanced = display
             mode_str = "wireframe"
         else:
@@ -1029,11 +1031,15 @@ class RayTracerInteraction:
                 m for m in self.settings["selected_denoisers"] if m != "joint"
             ) if self.settings["show_denoisers"] else ()
             try:
+                # uint8 ON DEVICE: the display contract ends at a uint8
+                # QImage (reference gui.py:65-80) and the pull dominates a
+                # tunneled chip — 22 MB f32 vs 5.5 MB uint8 per frame
+                # (measured p50 780 -> ~210 ms with 4 denoisers on).
                 stack = np.asarray(display_stack(
                     self._acc_dev, self.settings["exposure"],
                     linear=self._linear,
                     enhance=bool(self.settings["enhance_image"]),
-                    methods=methods))
+                    methods=methods, as_uint8=True))
                 self._d2h_last_frame = 1
             except Exception as e:  # pragma: no cover
                 # Per-frame error isolation: a failing denoiser stage must
@@ -1044,7 +1050,8 @@ class RayTracerInteraction:
                 try:
                     stack = np.asarray(display_stack(
                         self._acc_dev, self.settings["exposure"],
-                        linear=self._linear, enhance=False, methods=()))
+                        linear=self._linear, enhance=False, methods=(),
+                        as_uint8=True))
                     self._d2h_last_frame = 1
                 except Exception as e2:
                     print(f"Display fallback error: {e2}")
@@ -1058,13 +1065,16 @@ class RayTracerInteraction:
                 # feature-guided method: needs the cached AOV buffers; its
                 # result is a second (counted) pull only when selected
                 try:
-                    denoised["joint"] = self.denoiser.denoise(
-                        display, "joint", aovs=self._get_aovs())
+                    denoised["joint"] = to_uint8(self.denoiser.denoise(
+                        display.astype(np.float32) / 255.0, "joint",
+                        aovs=self._get_aovs()))
                     self._d2h_last_frame += 1
                 except Exception as e:  # pragma: no cover
                     print(f"Denoising error: {e}")
 
         self.frame_queue.put({
+            # images are uint8 RGB (0-255), quantized on device — the
+            # same encoding every display sink uses (QImage.Format_RGB888)
             "display": display,
             "enhanced": enhanced,
             "denoised": denoised,

@@ -124,7 +124,10 @@ def normalize_mouse(pos_x: float, pos_y: float, widget_w: int, widget_h: int,
 
 
 def to_uint8(image: np.ndarray) -> np.ndarray:
-    """Float [0,1] image -> contiguous uint8 RGB for display."""
+    """Image -> contiguous uint8 RGB for display. Float inputs are [0,1];
+    uint8 inputs (the device-quantized display stack) pass through."""
+    if image.dtype == np.uint8:
+        return np.ascontiguousarray(image)
     return np.ascontiguousarray(
         (np.clip(image, 0.0, 1.0) * 255).astype(np.uint8))
 
@@ -217,8 +220,11 @@ def set_setting(rt, key: str, value) -> None:
     accumulation (reference gui.py:740-746)."""
     rt.settings[key] = value
     if key in ("max_samples", "samples_per_batch", "max_depth",
-               "exposure", "enhance_image", "nee", "stratify"):
+               "exposure", "enhance_image", "nee", "stratify",
+               "adaptive_tiles"):
         # `nee` switches the estimator (stale accumulation would mix two
-        # different transports) and `stratify` the sampler, so they restart
-        # like the reference knobs.
+        # different transports), `stratify` the sampler, and
+        # `adaptive_tiles` the per-tile bookkeeping, so they restart
+        # like the reference knobs. `noise_target` only moves the stop
+        # threshold — no restart.
         rt.restart_rendering()

@@ -46,6 +46,11 @@ class RenderSettings:
     # (render/frame.py stratify=True) — each pixel's spp samples tile the
     # footprint quasi-uniformly; lower AA variance at equal cost.
     stratify: bool = False
+    # Beyond-reference: per-tile adaptive sampling (needs noise_target > 0
+    # and the megakernel engine). Tiles whose accumulated image stops
+    # changing leave the render mask and cost ~nothing
+    # (ops/pallas_megakernel.py tile_mask; app/interaction._render_worker).
+    adaptive_tiles: bool = False
 
     # GUI slider ranges (gui.py:167-245): clamp on assignment
     _RANGES = {
