@@ -154,6 +154,28 @@ def test_nee_rejects_cluster_engine():
                engine="cluster", nee=True)
 
 
+def test_nee_cluster_downgrade_warns(monkeypatch):
+    """auto-dispatch downgrading a cluster-scale nee render to lax is a
+    large perf cliff — it must warn once instead of silently crawling."""
+    import warnings
+
+    from tpu_rt.core.scenes import random_spheres
+    from tpu_rt.render import frame as fr
+
+    scene = random_spheres(128, seed=0)  # past the 64-sphere pallas bucket
+    cam = make_camera(aspect=1.0)
+    monkeypatch.setattr(fr, "_on_tpu", lambda s: True)
+    monkeypatch.setattr(fr, "_warned_nee_downgrade", False)
+    with pytest.warns(RuntimeWarning, match="cluster engine"):
+        fr.render(scene, cam, jax.random.key(0), width=8, height=8, spp=1,
+                  max_depth=1, nee=True)
+    # and only once
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        fr.render(scene, cam, jax.random.key(0), width=8, height=8, spp=1,
+                  max_depth=1, nee=True)
+
+
 def test_nee_megakernel_mean_matches_lax(tpu_or_interpret):
     """The fused NEE (ops/pallas_megakernel.py, nee=True) implements the
     same estimator as the lax path, stream-different: mean images over K
@@ -251,6 +273,110 @@ def test_nee_megakernel_shadowed_by_mesh(tpu_or_interpret):
     lit_patch = lit[cy - 4:cy + 4, cx - 8:cx].mean()
     sh_patch = sh[cy - 4:cy + 4, cx - 8:cx].mean()
     assert sh_patch < 0.7 * lit_patch, (sh_patch, lit_patch)
+
+
+def tri_light_mesh(object_id=7):
+    """A bright emissive quad above the scene — a TRIANGLE light, which the
+    NEE light cdf (spheres only) can never sample."""
+    v = np.array([[-1.4, 2.6, -3.6], [0.6, 2.6, -3.6], [0.6, 2.6, -1.8],
+                  [-1.4, 2.6, -1.8]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    from tpu_rt.ops.triangle import make_mesh
+
+    return make_mesh(v, f, albedo=(0.0, 0.0, 0.0),
+                     emission=(9.0, 8.0, 7.0), object_id=object_id)
+
+
+def test_nee_keeps_triangle_light_bitwise():
+    """Emissive TRIANGLES are not in the sphere-light cdf, so their
+    BSDF-path emission must survive the post-diffuse suppression.
+    Regression (round 3): suppressing it lost the light entirely after the
+    first diffuse bounce. With no sphere lights the NEE side streams are
+    untouched, so the fixed estimator is BIT-identical to cosine PT."""
+    scene = nee_scene(light=False, background=(0.02, 0.02, 0.04))
+    mesh = tri_light_mesh()
+    cam = make_camera(position=(0, 1.0, 2.0), target=(0, 0.2, -3),
+                      aspect=4 / 3)
+    R = 64
+    u = jnp.linspace(0.1, 0.9, R)
+    o = jnp.broadcast_to(cam.position, (R, 3))
+    d = jnp.stack([u - 0.5, -jnp.ones(R) * 0.4, -jnp.ones(R)], axis=-1)
+    a = trace(scene, o, d, jax.random.key(5), max_depth=4, nee=True,
+              mesh=mesh)
+    b = trace(scene, o, d, jax.random.key(5), max_depth=4,
+              diffuse_sampling="cosine", mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the light actually contributes (the pre-fix failure mode was a
+    # near-black image): the mean must clearly exceed the background level
+    assert float(np.asarray(a).mean()) > 0.1, float(np.asarray(a).mean())
+
+
+def test_nee_mixed_sphere_and_triangle_lights_mean():
+    """Sphere light handled by NEE + triangle light by BSDF path: the mean
+    must still match the brute-force cosine path tracer."""
+    scene = nee_scene()  # sphere light at index 3
+    mesh = tri_light_mesh()
+    K = 32
+    pt = frames(scene, K, seed0=70, diffuse_sampling="cosine", mesh=mesh)
+    ne = frames(scene, K, seed0=700, nee=True, mesh=mesh)
+    mean_pt, mean_ne = pt.mean(0), ne.mean(0)
+    se = np.sqrt(pt.var(0) / K + ne.var(0) / K)
+    rmse = float(np.sqrt(np.mean((mean_pt - mean_ne) ** 2)))
+    rmse_se = float(np.sqrt(np.mean(se ** 2)))
+    assert rmse <= 2.0 * rmse_se, (rmse, rmse_se)
+    assert abs(mean_pt.mean() - mean_ne.mean()) <= 5e-3, (
+        mean_pt.mean(), mean_ne.mean())
+
+
+def test_nee_shadow_not_fooled_by_id_collision():
+    """A triangle occluder whose object_id COLLIDES with the sampled sphere
+    light's id must still occlude. Regression (round 3): the id-equality
+    visibility test let the light leak straight through such a triangle."""
+    from tpu_rt.ops.triangle import make_mesh
+
+    scene = nee_scene()  # the light sphere is index 3 -> object_id 3
+    v = np.array([[-1.6, 1.4, -2.8], [0.2, 1.4, -2.8], [0.2, 1.4, -2.2],
+                  [-1.6, 1.4, -2.2]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mesh = make_mesh(v, f, albedo=(0.2, 0.2, 0.2), object_id=3)
+    lit = frames(scene, 4, seed0=11, nee=True).mean(0)
+    sh = frames(scene, 4, seed0=11, nee=True, mesh=mesh).mean(0)
+    cy, cx = H // 2, W // 2
+    lit_patch = lit[cy - 4:cy + 4, cx - 8:cx].mean()
+    sh_patch = sh[cy - 4:cy + 4, cx - 8:cx].mean()
+    assert sh_patch < 0.7 * lit_patch, (sh_patch, lit_patch)
+
+
+def test_nee_megakernel_keeps_triangle_light(tpu_or_interpret):
+    """The fused kernel's suppression must also spare triangle emission:
+    megakernel nee=True with a triangle light matches lax nee=True in
+    mean (the lax side is the fixed oracle)."""
+    from tpu_rt.ops.pallas_megakernel import render_pallas
+
+    on_tpu, interpret = tpu_or_interpret
+    Wm, Hm, SPPm, K = (32, 24, 16, 10) if interpret else (64, 48, 32, 20)
+    scene = nee_scene()  # sphere light + triangle light below
+    mesh = tri_light_mesh()
+    cam = make_camera(position=(0, 1.0, 2.0), target=(0, 0.2, -3),
+                      aspect=Wm / Hm)
+    pk = np.stack([
+        np.asarray(render_pallas(
+            scene, cam, 2000 + k, width=Wm, height=Hm, spp=SPPm,
+            max_depth=DEPTH, interpret=interpret, nee=True, gamma=False,
+            n_active=4, mesh=mesh, n_tri_active=2))
+        for k in range(K)])
+    lx = np.stack([
+        np.asarray(render(
+            scene, cam, jax.random.key(800 + k), width=Wm, height=Hm,
+            spp=SPPm, max_depth=DEPTH, engine="lax", nee=True, gamma=False,
+            mesh=mesh))
+        for k in range(K)])
+    mp, ml = pk.mean(0), lx.mean(0)
+    se = np.sqrt(pk.var(0) / K + lx.var(0) / K)
+    rmse = float(np.sqrt(np.mean((mp - ml) ** 2)))
+    rmse_se = float(np.sqrt(np.mean(se ** 2)))
+    assert rmse <= 2.0 * rmse_se, (rmse, rmse_se)
+    assert abs(mp.mean() - ml.mean()) <= 6e-3, (mp.mean(), ml.mean())
 
 
 def test_nee_with_mesh_occluder():

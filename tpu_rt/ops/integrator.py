@@ -231,17 +231,24 @@ def trace(
         light_cdf = jnp.cumsum(lw) / jnp.maximum(n_lights, 1.0)
 
     def scene_hit(o_, d_):
+        """Closest hit over both geometries; also returns the per-lane
+        "winner is a triangle" flag. NEE needs it twice: emissive TRIANGLES
+        are not in the sphere-light cdf, so their BSDF-path emission must
+        survive the post-diffuse suppression (only sphere emission is
+        otherwise double counted), and a triangle winning the shadow ray is
+        always an occluder even if its object_id collides with the sampled
+        sphere light's id (triangle ids default to 0 — ops/triangle.py:84)."""
         if use_bvh:
             h_ = intersect_spheres_bvh_hit(scene, bvh, o_, d_)
         else:
             h_ = intersect_brute(scene, o_, d_, attr=attr)
-        if mesh is not None:
-            if use_bvh:
-                mh = intersect_mesh_bvh_hit(mesh, tri_bvh, o_, d_)
-            else:
-                mh = intersect_mesh_brute(mesh, o_, d_, attr=tri_attr)
-            h_ = combine_hits(h_, mh)
-        return h_
+        if mesh is None:
+            return h_, jnp.zeros(h_.t.shape, bool)
+        if use_bvh:
+            mh = intersect_mesh_bvh_hit(mesh, tri_bvh, o_, d_)
+        else:
+            mh = intersect_mesh_brute(mesh, o_, d_, attr=tri_attr)
+        return combine_hits(h_, mh), mh.hit & (mh.t < h_.t)
 
     def body(state):
         depth, o, d, thr, col, act, k, segs, no_emit = state
@@ -249,7 +256,7 @@ def trace(
         k, k_ball, k_rr, k_branch, k_glass = jax.random.split(k, 5)
 
         segs = segs + jnp.sum(act.astype(jnp.int32))
-        h = scene_hit(o, d)
+        h, is_tri_hit = scene_hit(o, d)
 
         # Miss: add background through throughput, lane dies
         # (raytracer_core.cpp:306-311; v1 returns background up the chain,
@@ -266,9 +273,11 @@ def trace(
             normal = jnp.where(front, normal, -normal)
 
         # Under NEE, lanes whose previous scatter was diffuse already
-        # accounted for direct light via their shadow ray — BSDF-path
-        # emission would double count it.
-        emit_ok = act & ~no_emit if nee else act
+        # accounted for SPHERE-light direct light via their shadow ray —
+        # BSDF-path sphere emission would double count it. Triangle
+        # emission is NOT in the light cdf, so it must still be added
+        # (suppressing it loses that light entirely — tests/test_nee.py).
+        emit_ok = act & ~(no_emit & ~is_tri_hit) if nee else act
         col = col + jnp.where(emit_ok[:, None], thr * h.emission, 0.0)
 
         # Russian roulette (before scatter, after emission).
@@ -324,8 +333,10 @@ def trace(
             k_cone = jax.random.fold_in(k, 102)
             dir_l, weight, le, lid, inside = _sample_light_cone(
                 k_light, k_cone, attr, light_cdf, hp)
-            sh = scene_hit(hp, dir_l)
-            visible = sh.hit & (sh.object_id == lid)
+            sh, sh_is_tri = scene_hit(hp, dir_l)
+            # the winner must be the sampled light itself: a triangle can
+            # never be (triangle ids may collide with sphere ids)
+            visible = sh.hit & ~sh_is_tri & (sh.object_id == lid)
             ndl = vm.dot(normal, dir_l)
             gate = (diffuse_lane & visible & ~inside & (ndl > 0.0)
                     & (n_lights > 0.0))

@@ -373,8 +373,15 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                 cg = cg + missf * tg * bgy
                 cb = cb + missf * tb * bgz
                 act = act & hit
-                emitf = ((act & ~no_emit) if nee else act).astype(
-                    jnp.float32)
+                if nee:
+                    # post-diffuse suppression applies to SPHERE emission
+                    # only: triangles are not in the NEE light cdf, so
+                    # their BSDF-path emission is the sole estimator of
+                    # that light (same split as ops/integrator.py).
+                    suppress = (no_emit & ~b_is_tri) if n_tris else no_emit
+                    emitf = (act & ~suppress).astype(jnp.float32)
+                else:
+                    emitf = act.astype(jnp.float32)
                 cr = cr + emitf * tr * b_er
                 cg = cg + emitf * tg * b_eg
                 cb = cb + emitf * tb * b_eb

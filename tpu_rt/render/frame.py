@@ -76,6 +76,28 @@ def _warn_lax_fallback(scene) -> None:
         RuntimeWarning, stacklevel=3)
 
 
+_warned_nee_downgrade = False
+
+
+def _warn_nee_downgrade() -> None:
+    """nee=True past the megakernel bucket downgrades auto-dispatch from
+    the cluster engine to the general lax pipeline — a large-scene perf
+    cliff (the cluster engine keeps the reference estimator only). Say it
+    once rather than silently rendering orders of magnitude slower."""
+    global _warned_nee_downgrade
+    if _warned_nee_downgrade:
+        return
+    _warned_nee_downgrade = True
+    import warnings
+
+    warnings.warn(
+        "tpu_rt: nee=True is not supported by the cluster engine; this "
+        "large scene renders through the general lax pipeline instead "
+        "(much slower at scale). Pass nee=False to use the cluster "
+        "engine, or keep NEE for small-bucket scenes.",
+        RuntimeWarning, stacklevel=3)
+
+
 def _pallas_eligible(scene, mode, enable_refraction, gamma, mesh) -> bool:
     """The fused megakernel covers the production configuration: v2
     estimator, sphere scenes up to a modest bucket (the sphere loop is
@@ -222,6 +244,7 @@ def render(
                 "engine='auto', 'pallas', or 'lax'")
         if engine == "auto" and select_engine(
                 scene, mode, enable_refraction, gamma, mesh) == "cluster":
+            _warn_nee_downgrade()
             engine = "lax"
     if enable_dof is None:
         # Auto-detect thin-lens DOF from the camera. The aperture is host
