@@ -441,6 +441,38 @@ def test_attr_tables_stay_int32_and_survive_closure_capture(scene200):
     # tables through f32 bitcast views)
 
 
+def test_cluster_closure_capture_in_jit():
+    """Regression for the r4 parity-golden failure: the TPU compile path
+    CONSTANT-FOLDS jnp.take_along_axis on >=3D operands incorrectly, so a
+    prebuilt ClusteredScene closure-captured inside an outer jit reached
+    the kernel with whole box/attr regions ZEROED (-25% image mean, all
+    emission lost — the cluster mean golden measured RMSE 1.45e-1 vs the
+    oracle instead of <=1e-3). _order_near_to_far/build_clusters now shield
+    their tables behind lax.optimization_barrier; this renders the demo
+    scene both ways and requires matching images. TPU-gated: the CPU
+    folder is correct, so interpret mode cannot reproduce the bug."""
+    tpus = [d for d in jax.devices() if "TPU" in str(d)]
+    if not tpus:
+        pytest.skip("no TPU: the miscompile is TPU-compile-path specific")
+    scene = jax.device_put(tpu_rt.demo_scene(), tpus[0])
+    cam = tpu_rt.make_camera(aspect=64 / 48)
+    with jax.default_device(tpus[0]):
+        pre = jax.block_until_ready(build_clusters(scene, n_active=9))
+        kw = dict(width=64, height=48, spp=64, max_depth=4, n_active=9,
+                  prebuilt=pre)
+
+        @jax.jit
+        def captured(seed):
+            return render_cluster(scene, cam, seed, **kw)
+
+        a = np.asarray(captured(jnp.int32(123)))
+        b = np.asarray(render_cluster(scene, cam, jnp.int32(123), **kw))
+    # identical RNG streams -> same samples; tolerance covers camera-scalar
+    # packing folded on host vs computed on device (not table corruption)
+    assert abs(float(a.mean()) - float(b.mean())) < 1e-4, (a.mean(), b.mean())
+    np.testing.assert_allclose(a, b, atol=5e-3)
+
+
 def test_cluster_build_cache_identity():
     """The frame-level memo keys on array identity: same scene arrays hit,
     new arrays (scene edits) miss, dead entries are evicted."""

@@ -16,6 +16,7 @@ Two layers of parity:
 """
 
 import os
+from functools import partial
 
 import jax
 import numpy as np
@@ -145,7 +146,20 @@ def test_rmse_of_means_scales_as_inverse_sqrt_n():
 # 512 spp, 64x48 depth 4, chained on device).
 # ---------------------------------------------------------------------------
 
-_V2N = 2048
+def _v2_n():
+    """Largest N with a complete (v2lax, mega, cluster) golden triple.
+    At N=2048 the mean-vs-mean RMSE floor is sigma*sqrt(2/N) ~ 9.7e-4 —
+    only ~3% below the 1e-3 target — so the goldens are generated at 4096
+    (floor ~6.9e-4) when chip time allows."""
+    for n in (8192, 4096, 2048):
+        if all(os.path.exists(os.path.join(
+                GOLDENS, f"tpurt_{tag}_mean_64x48_512spp_d4_N{n}.npy"))
+                for tag in ("v2lax", "mega", "cluster")):
+            return n
+    return 2048
+
+
+_V2N = _v2_n()
 _V2LAX = os.path.join(GOLDENS, f"tpurt_v2lax_mean_64x48_512spp_d4_N{_V2N}.npy")
 _MEGA = os.path.join(GOLDENS, f"tpurt_mega_mean_64x48_512spp_d4_N{_V2N}.npy")
 _CLUSTER = os.path.join(
@@ -203,6 +217,49 @@ def test_v2_megakernel_means_scale_as_inverse_sqrt_n():
 
     r8 = float(np.sqrt(((mean_of(8, 9000) - oracle) ** 2).mean()))
     r32 = float(np.sqrt(((mean_of(32, 9600) - oracle) ** 2).mean()))
+    assert r32 < r8, (r8, r32)
+    assert 1.4 < r8 / r32 < 2.8, (r8, r32)
+    assert r32 < 0.012, r32
+
+
+@needs_v2_goldens
+def test_v2_cluster_means_scale_as_inverse_sqrt_n():
+    """Live TPU regression for the CLUSTER engine (VERDICT r3 item 1): its
+    RMSE vs the lax-v2 mean golden must track sigma*sqrt(1/N + 1/N_golden),
+    halving when N quadruples — the correctness bound for the engine every
+    scene above 64 primitives renders through. The prebuilt table is passed
+    as a jit ARGUMENT (not closure-captured) so the run stays valid even if
+    the TPU constant-folder regresses again (see
+    tests/test_cluster.py::test_cluster_closure_capture_in_jit)."""
+    tpus = [d for d in jax.devices() if "TPU" in str(d)]
+    if not tpus:
+        pytest.skip("no TPU: the cluster engine needs the hardware PRNG")
+    import jax.numpy as jnp
+
+    from tpu_rt.ops.pallas_cluster import build_clusters, render_cluster
+
+    oracle = np.load(_V2LAX)
+    cam48 = tpu_rt.make_camera(aspect=64 / 48)
+    scene = jax.device_put(tpu_rt.demo_scene(), tpus[0])
+    STRIDE = 1 << 16
+
+    with jax.default_device(tpus[0]):
+        pre = jax.block_until_ready(build_clusters(scene, n_active=9))
+
+        def mean_of(n, seed0):
+            @partial(jax.jit, static_argnames=("nb",))
+            def chunk(b0, p, nb):
+                def body(i, acc):
+                    return acc + render_cluster(
+                        scene, cam48, (b0 + i) * STRIDE, width=64, height=48,
+                        spp=512, max_depth=4, n_active=9, prebuilt=p)
+                return jax.lax.fori_loop(0, nb, body,
+                                         jnp.zeros((48, 64, 3), jnp.float32))
+            return np.asarray(chunk(jnp.int32(seed0), pre, n),
+                              np.float64) / n
+
+        r8 = float(np.sqrt(((mean_of(8, 11000) - oracle) ** 2).mean()))
+        r32 = float(np.sqrt(((mean_of(32, 11600) - oracle) ** 2).mean()))
     assert r32 < r8, (r8, r32)
     assert 1.4 < r8 / r32 < 2.8, (r8, r32)
     assert r32 < 0.012, r32

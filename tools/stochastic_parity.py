@@ -192,6 +192,52 @@ def run_v2(n_batches: int) -> None:
         print(f"RMSE-of-means {tag} vs v2lax: {rmse:.2e}")
 
 
+def run_v2_cluster(n_batches: int) -> None:
+    """Cluster-engine-only slice of run_v2: regenerate just the cluster
+    golden (the v2lax/mega goldens already exist and stay untouched) and
+    report its RMSE-of-means against the stored v2lax oracle mean."""
+    import jax
+    import jax.numpy as jnp
+
+    import tpu_rt
+    from tpu_rt.ops.pallas_cluster import build_clusters, render_cluster
+
+    dev = jax.devices()[0]
+    scene = jax.device_put(tpu_rt.demo_scene(), dev)
+    cam = jax.device_put(tpu_rt.make_camera(aspect=W / H), dev)
+    zeros = jnp.zeros((H, W, 3), jnp.float32)
+    CH = 128
+    assert n_batches % CH == 0
+    STRIDE = 1 << 16  # must match run_v2 so streams line up with mega's
+
+    pre = jax.block_until_ready(build_clusters(scene, n_active=9))
+
+    @jax.jit
+    def cluster_chunk(b0):
+        def body(i, acc):
+            return acc + render_cluster(scene, cam, (b0 + i) * STRIDE,
+                                        width=W, height=H, spp=SPP,
+                                        max_depth=DEPTH, n_active=9,
+                                        prebuilt=pre)
+        return jax.lax.fori_loop(0, CH, body, zeros)
+
+    acc = np.zeros((H, W, 3), np.float64)
+    for c in range(n_batches // CH):
+        acc += np.asarray(cluster_chunk(jnp.int32(c * CH)), np.float64)
+        print(f"batch {(c + 1) * CH}/{n_batches}", flush=True)
+    mean = (acc / n_batches).astype(np.float32)
+    np.save(f"{GOLDENS}/tpurt_cluster_mean_{W}x{H}_{SPP}spp_d{DEPTH}"
+            f"_N{n_batches}.npy", mean)
+    print(f"cluster mean N={n_batches}: {mean.mean():.5f}")
+
+    oracle_path = (f"{GOLDENS}/tpurt_v2lax_mean_{W}x{H}_{SPP}spp_d{DEPTH}"
+                   f"_N{n_batches}.npy")
+    if os.path.exists(oracle_path):
+        oracle = np.load(oracle_path)
+        rmse = float(np.sqrt(((mean - oracle) ** 2).mean()))
+        print(f"RMSE-of-means cluster vs v2lax: {rmse:.2e}")
+
+
 if __name__ == "__main__":
     phase = sys.argv[1] if len(sys.argv) > 1 else "cpp"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
@@ -201,5 +247,7 @@ if __name__ == "__main__":
         run_tpu(n)
     elif phase == "v2":
         run_v2(n)
+    elif phase == "v2cluster":
+        run_v2_cluster(n)
     else:
         raise SystemExit(f"unknown phase {phase}")

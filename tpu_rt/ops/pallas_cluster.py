@@ -219,6 +219,10 @@ def build_clusters(
     """
     from .intersect import attribute_matrix
 
+    # keep the argsort->gather chain out of the TPU constant folder, which
+    # mis-folds multi-dim gathers (see _order_near_to_far); no-op when the
+    # scene arrives as a computation parameter (every eager call)
+    scene = jax.lax.optimization_barrier(scene)
     n = scene.capacity if n_active is None else n_active
     scene = jax.tree.map(lambda a: a[:n] if a.ndim >= 1 and
                          a.shape[0] == scene.capacity else a, scene)
@@ -376,6 +380,8 @@ def build_tri_clusters(
     DMA blocks). The ``n_global`` largest-AREA triangles (ground quads etc.,
     whose boxes would span the scene and defeat culling) go to the dense
     per-ray global sweep."""
+    # same constant-folder shield as build_clusters (see _order_near_to_far)
+    mesh = jax.lax.optimization_barrier(mesh)
     n = mesh.capacity if n_active is None else n_active
     mesh = jax.tree.map(lambda a: a[:n] if a.ndim >= 1 and
                         a.shape[0] == mesh.capacity else a, mesh)
@@ -487,6 +493,20 @@ def _order_near_to_far(cl: ClusteredScene, cam_pos) -> ClusteredScene:
     Camera distance is exact for primary rays and a good proxy for bounce
     rays (their origins lie on primary hit points).
     """
+    # MEASURED MISCOMPILE (TPU v5e / axon, jax 0.9.0, 2026-08-19): the TPU
+    # compile path CONSTANT-FOLDS jnp.take_along_axis on >=3D operands
+    # incorrectly — minimal repro: take_along_axis on a closure-captured
+    # (1,8,8,8) f32 constant inside jit returns rows with zeroed tails
+    # (CPU folds the same graph correctly). A caller that closure-captures
+    # a prebuilt ClusteredScene inside an outer jit therefore got boxes and
+    # attr blocks with whole regions zeroed: -25% image mean on the demo
+    # scene (all emission lost) — exactly the cluster parity-golden failure.
+    # The barrier keeps the tables (and everything derived from them) out
+    # of the folder; on the eager production path the tables are computation
+    # PARAMETERS already, so this is a zero-cost identity there.
+    # Regression: tests/test_cluster.py::test_cluster_closure_capture_in_jit.
+    cl, cam_pos = jax.lax.optimization_barrier((cl, cam_pos))
+
     def dist(boxes):
         center = (boxes[:, 0:3] + boxes[:, 3:6]) * 0.5
         d = jnp.linalg.norm(center - cam_pos[None, :], axis=-1)
