@@ -26,6 +26,30 @@ import pytest  # noqa: E402
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 
+@pytest.fixture(autouse=True)
+def no_leaked_tpu_rt_threads():
+    """Every tpu_rt worker thread must be gone when its test ends
+    (VERDICT r3 item 4): a leaked daemon worker was alive during the one
+    hard-SIGSEGV full-suite run of round 3 (inside JAX's compilation-cache
+    read on the main thread). Workers are named tpu_rt-* and
+    stop_rendering() now joins-or-raises; this fixture catches any test
+    that forgets to stop a session."""
+    import threading
+    import time
+
+    yield
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = [t.name for t in threading.enumerate()
+                  if t.name.startswith("tpu_rt-") and t.is_alive()]
+        if not leaked:
+            return
+        time.sleep(0.05)
+    raise AssertionError(
+        f"test leaked live tpu_rt worker threads: {leaked} — call "
+        "stop_rendering() (it joins and raises on stuck workers)")
+
+
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(1234)

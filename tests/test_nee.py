@@ -146,34 +146,147 @@ def test_nee_requires_v2():
         trace(scene, o, d, jax.random.key(0), mode="v1", nee=True)
 
 
-def test_nee_rejects_cluster_engine():
-    scene = nee_scene()
-    cam = make_camera(aspect=W / H)
-    with pytest.raises(ValueError, match="cluster"):
-        render(scene, cam, jax.random.key(0), width=W, height=H, spp=1,
-               engine="cluster", nee=True)
-
-
-def test_nee_cluster_downgrade_warns(monkeypatch):
-    """auto-dispatch downgrading a cluster-scale nee render to lax is a
-    large perf cliff — it must warn once instead of silently crawling."""
-    import warnings
-
+def test_nee_routes_large_scene_to_cluster(monkeypatch):
+    """nee=True no longer downgrades cluster-scale scenes to lax
+    (VERDICT r3 item 2: the shadow sweep is fused into the cluster
+    traversal) — auto dispatch must keep the cluster engine."""
     from tpu_rt.core.scenes import random_spheres
     from tpu_rt.render import frame as fr
 
     scene = random_spheres(128, seed=0)  # past the 64-sphere pallas bucket
-    cam = make_camera(aspect=1.0)
     monkeypatch.setattr(fr, "_on_tpu", lambda s: True)
-    monkeypatch.setattr(fr, "_warned_nee_downgrade", False)
-    with pytest.warns(RuntimeWarning, match="cluster engine"):
-        fr.render(scene, cam, jax.random.key(0), width=8, height=8, spp=1,
-                  max_depth=1, nee=True)
-    # and only once
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")
-        fr.render(scene, cam, jax.random.key(0), width=8, height=8, spp=1,
-                  max_depth=1, nee=True)
+    assert fr.select_engine(scene) == "cluster"
+    # and the entry point accepts the combination (the engine itself is
+    # exercised in the cluster NEE tests below)
+    assert "nee" in render.__doc__
+
+
+def cluster_nee_frames(scene, n_frames, seed0, nee, interpret=True,
+                       mesh=None, w=48, h=36, spp=8, depth=3):
+    from tpu_rt.ops.pallas_cluster import render_cluster
+
+    cam = make_camera(position=(0, 1.0, 2.0), target=(0, 0.2, -3),
+                      aspect=w / h)
+    n_tri = None if mesh is None else int(mesh.capacity)
+    out = [np.asarray(render_cluster(
+        scene, cam, seed0 + k * (1 << 16), width=w, height=h, spp=spp,
+        max_depth=depth, interpret=interpret, n_active=scene.capacity,
+        nee=nee, gamma=False, mesh=mesh, n_tri_active=n_tri))
+        for k in range(n_frames)]
+    return np.stack(out)
+
+
+def test_nee_cluster_mean_matches_lax(tpu_or_interpret):
+    """The cluster engine's fused NEE (shadow rays through a second pass
+    of the compacted traversal) implements the same estimator as the lax
+    path, stream-different: mean images over K independent frames agree
+    within Monte-Carlo error."""
+    on_tpu, interpret = tpu_or_interpret
+    K, spp = (10, 8) if interpret else (24, 32)
+    scene = nee_scene()
+    ck = cluster_nee_frames(scene, K, 3000, True, interpret=interpret,
+                            spp=spp)
+    cam = make_camera(position=(0, 1.0, 2.0), target=(0, 0.2, -3),
+                      aspect=48 / 36)
+    lx = np.stack([
+        np.asarray(render(scene, cam, jax.random.key(600 + k), width=48,
+                          height=36, spp=spp, max_depth=3, engine="lax",
+                          nee=True, gamma=False))
+        for k in range(K)])
+    mc, ml = ck.mean(0), lx.mean(0)
+    se = np.sqrt(ck.var(0) / K + lx.var(0) / K)
+    rmse = float(np.sqrt(np.mean((mc - ml) ** 2)))
+    rmse_se = float(np.sqrt(np.mean(se ** 2)))
+    assert rmse <= 2.0 * rmse_se, (rmse, rmse_se)
+    assert abs(mc.mean() - ml.mean()) <= 6e-3, (mc.mean(), ml.mean())
+
+
+def test_nee_cluster_reduces_variance(tpu_or_interpret):
+    on_tpu, interpret = tpu_or_interpret
+    K, spp = (8, 8) if interpret else (16, 32)
+    scene = nee_scene()
+    ref = cluster_nee_frames(scene, K, 40, False, interpret=interpret,
+                             spp=spp)
+    ne = cluster_nee_frames(scene, K, 40, True, interpret=interpret,
+                            spp=spp)
+    v_ref = float(ref.var(0).mean())
+    v_ne = float(ne.var(0).mean())
+    assert v_ne < 0.35 * v_ref, (v_ne, v_ref)
+
+
+def test_nee_cluster_shadowed_by_mesh(tpu_or_interpret):
+    """Cluster shadow rays must see the TRIANGLE hierarchy too."""
+    from tpu_rt.ops.triangle import make_mesh
+
+    on_tpu, interpret = tpu_or_interpret
+    scene = nee_scene()
+    v = np.array([[-1.6, 1.4, -2.8], [0.2, 1.4, -2.8], [0.2, 1.4, -2.2],
+                  [-1.6, 1.4, -2.2]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mesh = make_mesh(v, f, albedo=(0.2, 0.2, 0.2))
+    K = 2 if interpret else 4
+    lit = cluster_nee_frames(scene, K, 70, True,
+                             interpret=interpret).mean(0)
+    sh = cluster_nee_frames(scene, K, 70, True, interpret=interpret,
+                            mesh=mesh).mean(0)
+    cy, cx = 18, 24
+    lit_patch = lit[cy - 4:cy + 4, cx - 8:cx].mean()
+    sh_patch = sh[cy - 4:cy + 4, cx - 8:cx].mean()
+    assert sh_patch < 0.7 * lit_patch, (sh_patch, lit_patch)
+
+
+def test_nee_cluster_keeps_triangle_light(tpu_or_interpret):
+    """The cluster kernel's is_tri best plane must exempt triangle
+    emission from the post-diffuse suppression (triangles are not in the
+    light cdf): mean matches lax nee=True with a triangle light."""
+    on_tpu, interpret = tpu_or_interpret
+    K, spp = (8, 8) if interpret else (20, 32)
+    scene = nee_scene()
+    mesh = tri_light_mesh()
+    ck = cluster_nee_frames(scene, K, 5000, True, interpret=interpret,
+                            mesh=mesh, spp=spp)
+    cam = make_camera(position=(0, 1.0, 2.0), target=(0, 0.2, -3),
+                      aspect=48 / 36)
+    lx = np.stack([
+        np.asarray(render(scene, cam, jax.random.key(850 + k), width=48,
+                          height=36, spp=spp, max_depth=3, engine="lax",
+                          nee=True, gamma=False, mesh=mesh))
+        for k in range(K)])
+    mc, ml = ck.mean(0), lx.mean(0)
+    se = np.sqrt(ck.var(0) / K + lx.var(0) / K)
+    rmse = float(np.sqrt(np.mean((mc - ml) ** 2)))
+    rmse_se = float(np.sqrt(np.mean(se ** 2)))
+    assert rmse <= 2.0 * rmse_se, (rmse, rmse_se)
+    assert abs(mc.mean() - ml.mean()) <= 6e-3, (mc.mean(), ml.mean())
+
+
+def test_nee_inside_emissive_dome_keeps_emission():
+    """ADVICE r3: a dome/sky light illuminating points INSIDE its radius
+    must not render dark under NEE — the sampled-light 'inside' draw
+    yields nothing, so the next-bounce BSDF emission must survive the
+    suppression. With the dome as the only light the fixed estimator's
+    mean matches brute-force cosine PT."""
+    dome_scene = make_scene(
+        centers=[(0, -100.5, -3), (0, 0.2, -3), (0, 0, 0)],
+        radii=[100.0, 0.7, 50.0],
+        albedos=[(0.6, 0.6, 0.6), (0.7, 0.3, 0.3), (0.0, 0.0, 0.0)],
+        metallics=[0.0, 0.0, 0.0],
+        roughnesses=[0.5, 0.5, 0.0],
+        emissions=[(0, 0, 0), (0, 0, 0), (0.8, 0.9, 1.0)],
+        background=(0.0, 0.0, 0.0))
+    K = 24
+    pt = frames(dome_scene, K, seed0=100, diffuse_sampling="cosine")
+    ne = frames(dome_scene, K, seed0=900, nee=True)
+    mean_pt, mean_ne = pt.mean(0), ne.mean(0)
+    # the pre-fix failure mode: near-black NEE image (all dome light lost)
+    assert mean_ne.mean() > 0.5 * mean_pt.mean(), (
+        mean_ne.mean(), mean_pt.mean())
+    se = np.sqrt(pt.var(0) / K + ne.var(0) / K)
+    rmse = float(np.sqrt(np.mean((mean_pt - mean_ne) ** 2)))
+    rmse_se = float(np.sqrt(np.mean(se ** 2)))
+    assert rmse <= 2.0 * rmse_se, (rmse, rmse_se)
+    assert abs(mean_pt.mean() - mean_ne.mean()) <= 5e-3, (
+        mean_pt.mean(), mean_ne.mean())
 
 
 def test_nee_megakernel_mean_matches_lax(tpu_or_interpret):

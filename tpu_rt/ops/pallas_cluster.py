@@ -71,11 +71,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.types import CameraP, SphereScene, T_MAX
 from .bvh import morton_codes
 from .pallas_megakernel import (
+    R2_ALPHA_U,
+    R2_ALPHA_V,
     TWO_PI,
     _hash_uniform,
     _normalize3,
     _dot3,
     _pack_camera,
+    _rsqrt_safe,
     _uniform,
     _unit_ball_from,
 )
@@ -552,12 +555,19 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                  gamma=True, rr_start=3, hash_rng=False, fast_sweep=False,
                  n_tri_global=0, n_tri_supers=0, square_blocks=False,
                  enable_dof=False, reach_scan=False, n_ss=0, n_tri_ss=0,
-                 cone_scan=True, direct_sph=False, direct_tri=False):
+                 cone_scan=True, direct_sph=False, direct_tri=False,
+                 nee=False, n_lights_max=8, stratify=False, adaptive=False):
     C = cluster_size
     G = n_global
     S = n_supers
     GT = n_tri_global
     ST = n_tri_supers
+    # Best-hit planes: t, cx, cy, cz, ir, p0..p4, plus an is_tri flag when
+    # the NEE suppression must tell triangle winners apart (triangles are
+    # not in the light cdf, so their BSDF-path emission is never
+    # suppressed — the same split as the megakernel and the lax path).
+    HAS_TRI = bool(GT or ST)
+    NB = 11 if (nee and HAS_TRI) else 10
     # Third hierarchy level (VERDICT r2 item 2): when n_ss > 0, phase A
     # scans the S2 super-super boxes and expands only the crossed ones
     # into super tests — O(S2 + crossed*FANOUT) scalar work instead of
@@ -585,9 +595,12 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
 
     def kernel(cam_ref, glob_ref, ssboxes_ref, sboxes_ref, cboxes_ref,
                bg_ref, seed_ref, attr_ref, tglob_ref, tssboxes_ref,
-               tsboxes_ref, tcboxes_ref, tattr_ref,
-               out_ref, segs_ref, best_ref, attr_scratch,
-               slist_ref, slist2_ref, count_ref, dma_sem):
+               tsboxes_ref, tcboxes_ref, tattr_ref, *rest):
+        rest = list(rest)
+        lights_ref = rest.pop(0) if nee else None
+        mask_ref = rest.pop(0) if adaptive else None
+        (out_ref, segs_ref, best_ref, attr_scratch,
+         slist_ref, slist2_ref, count_ref, dma_sem) = rest
         t = pl.program_id(0)
         s = pl.program_id(1)
         # The attribute tables are int32 words at rest (denormal-safe, see
@@ -613,6 +626,8 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
         upx, upy, upz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
         tf_aspect, tf = cam_ref[0, 12], cam_ref[0, 13]
         bgx, bgy, bgz = bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2]
+        if nee:
+            n_lights = bg_ref[0, 3]  # selected emissive-sphere count
 
         shape = (SUBLANES, LANES)
         sub = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -646,51 +661,6 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
 
         def unit_ball():
             return _unit_ball_from(U(), U(), U())
-
-        # ---- primary ray ----
-        if jitter:
-            xu = U()
-            xv = U()
-        else:
-            xu = xv = 0.5
-        u = (px + xu) * inv_w
-        v = (py + xv) * inv_h
-        vx = (u - 0.5) * 2.0 * tf_aspect
-        vy = (0.5 - v) * 2.0 * tf
-        dx = fwx + rix * vx + upx * vy
-        dy = fwy + riy * vx + upy * vy
-        dz = fwz + riz * vx + upz * vy
-        dx, dy, dz = _normalize3(dx, dy, dz)
-        ox = jnp.full(shape, cpx)
-        oy = jnp.full(shape, cpy)
-        oz = jnp.full(shape, cpz)
-
-        if enable_dof:
-            # thin-lens DOF (same math as the megakernel)
-            ap = cam_ref[0, 14]
-            fo = cam_ref[0, 15]
-            cosf = dx * fwx + dy * fwy + dz * fwz
-            tfoc = fo / jnp.maximum(cosf, 1e-6)
-            fpx = ox + dx * tfoc
-            fpy = oy + dy * tfoc
-            fpz = oz + dz * tfoc
-            r_l = ap * jnp.sqrt(U())
-            ph = TWO_PI * U()
-            lx = r_l * jnp.cos(ph)
-            ly = r_l * jnp.sin(ph)
-            ox = ox + rix * lx + upx * ly
-            oy = oy + riy * lx + upy * ly
-            oz = oz + riz * lx + upz * ly
-            dx, dy, dz = _normalize3(fpx - ox, fpy - oy, fpz - oz)
-
-        tr = jnp.ones(shape, jnp.float32)
-        tg = jnp.ones(shape, jnp.float32)
-        tb = jnp.ones(shape, jnp.float32)
-        cr = jnp.zeros(shape, jnp.float32)
-        cg = jnp.zeros(shape, jnp.float32)
-        cb = jnp.zeros(shape, jnp.float32)
-        act = jnp.ones(shape, jnp.bool_)
-        seg_count = jnp.int32(0)
 
         # ---- primary-cone hulls (scalar) ----
         # The tile's PRIMARY rays all leave one origin (or a lens disk)
@@ -780,115 +750,6 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                 hi = jnp.minimum(hi, jnp.minimum(u1, u2))
             return (hi >= lo) & (sb_ref[ssc * 8 + 6] > 0)
 
-        def sweep(read, count, best, fast=False):
-            """Unrolled sphere sweep updating the best-hit tuple (packed
-            attribute layout, _pack_attr_cols); ``read(j, field)`` fetches
-            attribute scalars at STATIC offsets (globals: SMEM input;
-            clusters: the DMA'd SMEM scratch block). ``fast=True`` skips
-            the far root (origin-inside-sphere case) — valid for cluster
-            primitives when refraction is off: scatter rays always leave
-            the surface outward, so only the near root can win."""
-            (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
-             b_p4) = best
-            for j in range(count):
-                row = j
-                scx, scy, scz = read(row, 0), read(row, 1), read(row, 2)
-                rad = read(row, 3)
-                inv_rad = read(row, 4)
-                ocx = ox_b - scx
-                ocy = oy_b - scy
-                ocz = oz_b - scz
-                half_b = ocx * dx_b + ocy * dy_b + ocz * dz_b
-                cq = (ocx * ocx + ocy * ocy + ocz * ocz) - rad * rad
-                disc = half_b * half_b - cq  # a == 1 (normalized d)
-                sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
-                root0 = -half_b - sqrtd
-                in0 = (root0 >= 1e-3) & (root0 <= best_t)
-                if fast and not enable_refraction:
-                    root = root0
-                    ok = (disc >= 0.0) & in0 & (inv_rad > 0.0)
-                else:
-                    root1 = -half_b + sqrtd
-                    in1 = (root1 >= 1e-3) & (root1 <= best_t)
-                    root = jnp.where(in0, root0, root1)
-                    ok = (disc >= 0.0) & (in0 | in1) & (inv_rad > 0.0)
-                better = ok & (root < best_t)
-                best_t = jnp.where(better, root, best_t)
-                b_cx = jnp.where(better, scx, b_cx)
-                b_cy = jnp.where(better, scy, b_cy)
-                b_cz = jnp.where(better, scz, b_cz)
-                b_ir = jnp.where(better, inv_rad, b_ir)
-                b_p0 = jnp.where(better, read(row, 5), b_p0)
-                b_p1 = jnp.where(better, read(row, 6), b_p1)
-                b_p2 = jnp.where(better, read(row, 7), b_p2)
-                b_p3 = jnp.where(better, read(row, 8), b_p3)
-                b_p4 = jnp.where(better, read(row, 9), b_p4)
-            return (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
-                    b_p4)
-
-        def tri_sweep(read, count, best, fast=False):
-            """Unrolled Moller-Trumbore sweep over packed triangle rows
-            (_tri_attr_rows layout). The winner's ray-opposing face normal
-            is ENCODED into the sphere best-hit planes: store c = hit - n
-            and ir = sign, so the shading path's (h - c) * ir reproduces
-            the flipped normal with zero extra state planes. ``fast`` is
-            accepted for signature parity (no far root to skip)."""
-            del fast
-            (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
-             b_p4) = best
-            for j in range(count):
-                v0x, v0y, v0z = read(j, 0), read(j, 1), read(j, 2)
-                e1x, e1y, e1z = read(j, 3), read(j, 4), read(j, 5)
-                e2x, e2y, e2z = read(j, 6), read(j, 7), read(j, 8)
-                pvx = dy_b * e2z - dz_b * e2y
-                pvy = dz_b * e2x - dx_b * e2z
-                pvz = dx_b * e2y - dy_b * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                okd = jnp.abs(det) > 1e-9
-                inv = 1.0 / jnp.where(okd, det, 1.0)
-                tvx = ox_b - v0x
-                tvy = oy_b - v0y
-                tvz = oz_b - v0z
-                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                vv = (dx_b * qvx + dy_b * qvy + dz_b * qvz) * inv
-                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-                better = (okd & (uu >= 0.0) & (vv >= 0.0)
-                          & (uu + vv <= 1.0) & (tt >= 1e-3)
-                          & (tt < best_t))
-                # bf16-packed face normal; flip sign to oppose the ray.
-                # (pltpu.bitcast has no scalar lowering: broadcast the
-                # packed word to a plane, then do plane-level bit ops)
-                nbits = pltpu.bitcast(
-                    jnp.full(shape, read(j, 9)), jnp.int32)
-                nx = pltpu.bitcast(
-                    jax.lax.shift_left(nbits, 16), jnp.float32)
-                ny = pltpu.bitcast(nbits & jnp.int32(-65536), jnp.float32)
-                nz = pltpu.bitcast(
-                    jax.lax.shift_left(
-                        pltpu.bitcast(jnp.full(shape, read(j, 10)),
-                                      jnp.int32), 16),
-                    jnp.float32)
-                sgn_t = jnp.where(
-                    dx_b * nx + dy_b * ny + dz_b * nz < 0.0, 1.0, -1.0)
-                hx_t = ox_b + dx_b * tt
-                hy_t = oy_b + dy_b * tt
-                hz_t = oz_b + dz_b * tt
-                best_t = jnp.where(better, tt, best_t)
-                b_cx = jnp.where(better, hx_t - nx, b_cx)
-                b_cy = jnp.where(better, hy_t - ny, b_cy)
-                b_cz = jnp.where(better, hz_t - nz, b_cz)
-                b_ir = jnp.where(better, sgn_t, b_ir)
-                b_p0 = jnp.where(better, read(j, 11), b_p0)
-                b_p1 = jnp.where(better, read(j, 12), b_p1)
-                b_p2 = jnp.where(better, read(j, 13), b_p2)
-                b_p3 = jnp.where(better, read(j, 14), b_p3)
-                b_p4 = jnp.where(better, read(j, 15), b_p4)
-            return (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
-                    b_p4)
-
         def _read_glob(j, field):
             return glob_f[j, field]
 
@@ -919,19 +780,141 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                 tattr_ref.at[_visit_kk(i, direct_tri)], attr_scratch.at[buf],
                 dma_sem.at[buf])
 
-        # ---- bounce loop (unrolled; one fori level stays free for the
-        # cluster loop) ----
-        for depth_idx in range(1, max_depth + 1):
-            rr_on = depth_idx > rr_start
-            seg_count = seg_count + jnp.sum(act.astype(jnp.int32))
+        def traverse(ox_b, oy_b, oz_b, dx_b, dy_b, dz_b, act_b, t_init,
+                     phase):
+            """Nearest-hit traversal for one wavefront: dense global
+            sweeps, then the compacted cluster phases; parks the NB
+            best-hit planes in best_ref. ``t_init`` bounds the search per
+            lane — T_MAX for camera/bounce rays, the light-entry t for NEE
+            shadow rays (a best_t that ends strictly below it means
+            occluded). ``phase`` picks the phase-A scalar test: "cone"
+            (primary-ray direction hulls), "reach" (origin bounds),
+            "vector" (per-ray slab). Factored out so the NEE shadow
+            wavefront rides the same machinery (VERDICT r3 item 2): in the
+            reference any extra ray is one cheap recursive call
+            (raytracer_core.cpp:291-351); here the traversal IS the
+            program, so shadow rays must reuse its compacted phases."""
 
-            # the sweep closures read the CURRENT bounce's rays
-            ox_b, oy_b, oz_b = ox, oy, oz
-            dx_b, dy_b, dz_b = dx, dy, dz
+            def sweep(read, count, best, fast=False):
+                """Unrolled sphere sweep updating the best-hit tuple (packed
+                attribute layout, _pack_attr_cols); ``read(j, field)``
+                fetches attribute scalars at STATIC offsets (globals: SMEM
+                input; clusters: the DMA'd SMEM scratch block).
+                ``fast=True`` skips the far root (origin-inside-sphere
+                case) — valid for cluster primitives when refraction is
+                off: scatter rays always leave the surface outward, so only
+                the near root can win."""
+                (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
+                 b_p4) = best[:10]
+                extra = list(best[10:])  # optional is_tri plane (NEE+mesh)
+                for j in range(count):
+                    row = j
+                    scx, scy, scz = read(row, 0), read(row, 1), read(row, 2)
+                    rad = read(row, 3)
+                    inv_rad = read(row, 4)
+                    ocx = ox_b - scx
+                    ocy = oy_b - scy
+                    ocz = oz_b - scz
+                    half_b = ocx * dx_b + ocy * dy_b + ocz * dz_b
+                    cq = (ocx * ocx + ocy * ocy + ocz * ocz) - rad * rad
+                    disc = half_b * half_b - cq  # a == 1 (normalized d)
+                    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    root0 = -half_b - sqrtd
+                    in0 = (root0 >= 1e-3) & (root0 <= best_t)
+                    if fast and not enable_refraction:
+                        root = root0
+                        ok = (disc >= 0.0) & in0 & (inv_rad > 0.0)
+                    else:
+                        root1 = -half_b + sqrtd
+                        in1 = (root1 >= 1e-3) & (root1 <= best_t)
+                        root = jnp.where(in0, root0, root1)
+                        ok = (disc >= 0.0) & (in0 | in1) & (inv_rad > 0.0)
+                    better = ok & (root < best_t)
+                    best_t = jnp.where(better, root, best_t)
+                    b_cx = jnp.where(better, scx, b_cx)
+                    b_cy = jnp.where(better, scy, b_cy)
+                    b_cz = jnp.where(better, scz, b_cz)
+                    b_ir = jnp.where(better, inv_rad, b_ir)
+                    b_p0 = jnp.where(better, read(row, 5), b_p0)
+                    b_p1 = jnp.where(better, read(row, 6), b_p1)
+                    b_p2 = jnp.where(better, read(row, 7), b_p2)
+                    b_p3 = jnp.where(better, read(row, 8), b_p3)
+                    b_p4 = jnp.where(better, read(row, 9), b_p4)
+                    if extra:
+                        extra[0] = jnp.where(better, 0.0, extra[0])
+                return (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2,
+                        b_p3, b_p4, *extra)
+
+            def tri_sweep(read, count, best, fast=False):
+                """Unrolled Moller-Trumbore sweep over packed triangle rows
+                (_tri_attr_rows layout). The winner's ray-opposing face
+                normal is ENCODED into the sphere best-hit planes: store
+                c = hit - n and ir = sign, so the shading path's
+                (h - c) * ir reproduces the flipped normal with zero extra
+                state planes. ``fast`` is accepted for signature parity
+                (no far root to skip)."""
+                del fast
+                (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
+                 b_p4) = best[:10]
+                extra = list(best[10:])
+                for j in range(count):
+                    v0x, v0y, v0z = read(j, 0), read(j, 1), read(j, 2)
+                    e1x, e1y, e1z = read(j, 3), read(j, 4), read(j, 5)
+                    e2x, e2y, e2z = read(j, 6), read(j, 7), read(j, 8)
+                    pvx = dy_b * e2z - dz_b * e2y
+                    pvy = dz_b * e2x - dx_b * e2z
+                    pvz = dx_b * e2y - dy_b * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    okd = jnp.abs(det) > 1e-9
+                    inv = 1.0 / jnp.where(okd, det, 1.0)
+                    tvx = ox_b - v0x
+                    tvy = oy_b - v0y
+                    tvz = oz_b - v0z
+                    uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    vv = (dx_b * qvx + dy_b * qvy + dz_b * qvz) * inv
+                    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                    better = (okd & (uu >= 0.0) & (vv >= 0.0)
+                              & (uu + vv <= 1.0) & (tt >= 1e-3)
+                              & (tt < best_t))
+                    # bf16-packed face normal; flip sign to oppose the ray.
+                    # (pltpu.bitcast has no scalar lowering: broadcast the
+                    # packed word to a plane, then do plane-level bit ops)
+                    nbits = pltpu.bitcast(
+                        jnp.full(shape, read(j, 9)), jnp.int32)
+                    nx = pltpu.bitcast(
+                        jax.lax.shift_left(nbits, 16), jnp.float32)
+                    ny = pltpu.bitcast(nbits & jnp.int32(-65536), jnp.float32)
+                    nz = pltpu.bitcast(
+                        jax.lax.shift_left(
+                            pltpu.bitcast(jnp.full(shape, read(j, 10)),
+                                          jnp.int32), 16),
+                        jnp.float32)
+                    sgn_t = jnp.where(
+                        dx_b * nx + dy_b * ny + dz_b * nz < 0.0, 1.0, -1.0)
+                    hx_t = ox_b + dx_b * tt
+                    hy_t = oy_b + dy_b * tt
+                    hz_t = oz_b + dz_b * tt
+                    best_t = jnp.where(better, tt, best_t)
+                    b_cx = jnp.where(better, hx_t - nx, b_cx)
+                    b_cy = jnp.where(better, hy_t - ny, b_cy)
+                    b_cz = jnp.where(better, hz_t - nz, b_cz)
+                    b_ir = jnp.where(better, sgn_t, b_ir)
+                    b_p0 = jnp.where(better, read(j, 11), b_p0)
+                    b_p1 = jnp.where(better, read(j, 12), b_p1)
+                    b_p2 = jnp.where(better, read(j, 13), b_p2)
+                    b_p3 = jnp.where(better, read(j, 14), b_p3)
+                    b_p4 = jnp.where(better, read(j, 15), b_p4)
+                    if extra:
+                        extra[0] = jnp.where(better, 1.0, extra[0])
+                return (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2,
+                        b_p3, b_p4, *extra)
 
             # global sweep in registers
             zero = jnp.zeros(shape, jnp.float32)
-            best = (jnp.full(shape, T_MAX),) + (zero,) * 9
+            best = (t_init,) + (zero,) * (NB - 1)
             if G:
                 best = sweep(_read_glob, G, best)
             if GT:
@@ -947,7 +930,6 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                                      jnp.where(dy_b >= 0, 1e-20, -1e-20))
             inv_dz = 1.0 / jnp.where(jnp.abs(dz_b) > 1e-20, dz_b,
                                      jnp.where(dz_b >= 0, 1e-20, -1e-20))
-            act_b = act
 
             def slab6(x0, y0, z0, x1, y1, z1):
                 """Per-ray box crossing mask from six scalar bounds, bounded
@@ -1001,7 +983,7 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                     if direct:
                         # phase A already tested this child's box
                         # (test-before-DMA): sweep unconditionally
-                        best_s = tuple(best_ref[i2] for i2 in range(10))
+                        best_s = tuple(best_ref[i2] for i2 in range(NB))
                         best_s = sweep_fn(_make_read_cluster(buf), C, best_s,
                                           fast=fast_sweep)
                         for i2, plane in enumerate(best_s):
@@ -1018,7 +1000,7 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
 
                     @pl.when(real & jnp.any(crossed))
                     def _():
-                        best_s = tuple(best_ref[i2] for i2 in range(10))
+                        best_s = tuple(best_ref[i2] for i2 in range(NB))
                         best_s = sweep_fn(_make_read_cluster(buf), C, best_s,
                                           fast=fast_sweep)
                         for i2, plane in enumerate(best_s):
@@ -1028,15 +1010,15 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
 
                 return cluster_visit
 
-            # Bounce 1 scans with the scalar primary-cone test (the
+            # The bounce-1 scan uses the scalar primary-cone test (the
             # direction hull is only known for primary rays); later
             # bounces scatter over the sphere, so the scalar scan falls
             # back to origin-bounds reachability (reach_scan) or the
             # per-ray vector slab scan. t_cap (max best_t after the
             # preceding sweeps) keeps the ground-sphere pruning the vector
             # scan gets from its running-t bound.
-            use_cone = cone_scan and depth_idx == 1
-            use_reach = reach_scan and depth_idx > 1
+            use_cone = phase == "cone"
+            use_reach = phase == "reach"
 
             def _scan(ssb_ref, n_ss_g, sb_ref, n_s_g, cb_ref, direct):
                 """Phase A: compact crossed indices into slist_ref.
@@ -1057,13 +1039,15 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                     # origins = previous bounce's hit points)
                     def _mm(v, lo_side):
                         fill = 3.0e38 if lo_side else -3.0e38
-                        masked = jnp.where(act, v, fill)
+                        masked = jnp.where(act_b, v, fill)
                         return (jnp.min(masked) if lo_side
                                 else jnp.max(masked))
 
-                    r_olo = [_mm(ox, True), _mm(oy, True), _mm(oz, True)]
-                    r_ohi = [_mm(ox, False), _mm(oy, False), _mm(oz, False)]
-                    r_tcap = jnp.max(jnp.where(act, best_ref[0], 0.0))
+                    r_olo = [_mm(ox_b, True), _mm(oy_b, True),
+                             _mm(oz_b, True)]
+                    r_ohi = [_mm(ox_b, False), _mm(oy_b, False),
+                             _mm(oz_b, False)]
+                    r_tcap = jnp.max(jnp.where(act_b, best_ref[0], 0.0))
 
                     def test(ref, i):
                         return _reach_box_ok(ref, i, r_tcap, r_olo, r_ohi)
@@ -1129,7 +1113,7 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                 else:
                     _compact(sb_ref, n_s_g, slist_ref, 0)
 
-            @pl.when(jnp.any(act))
+            @pl.when(jnp.any(act_b))
             def _():
                 # sphere clusters, then triangle clusters: phases share the
                 # SMEM visit lists, DMA scratch and the running best planes
@@ -1163,138 +1147,385 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                         _make_cluster_visit(_dma_tri, tri_sweep, direct_tri),
                         tvisits)
 
-            (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
-             b_p4) = tuple(best_ref[i] for i in range(10))
-
-            def unpack(p):
-                bits = pltpu.bitcast(p, jnp.int32)
-                lo = pltpu.bitcast(jax.lax.shift_left(bits, 16), jnp.float32)
-                hi = pltpu.bitcast(bits & jnp.int32(-65536), jnp.float32)
-                return lo, hi
-
-            b_ar, b_ag = unpack(b_p0)
-            b_ab, b_met = unpack(b_p1)
-            b_rgh, b_ior = unpack(b_p2)
-            b_er, b_eg = unpack(b_p3)
-            b_eb, _unused = unpack(b_p4)
-
-            # ---- shading (identical to the megakernel) ----
-            hit = best_t < T_MAX
-            miss = act & ~hit
-            missf = miss.astype(jnp.float32)
-            cr = cr + missf * tr * bgx
-            cg = cg + missf * tg * bgy
-            cb = cb + missf * tb * bgz
-            act = act & hit
-            actf = act.astype(jnp.float32)
-            cr = cr + actf * tr * b_er
-            cg = cg + actf * tg * b_eg
-            cb = cb + actf * tb * b_eb
-
-            if rr_on:
-                xi_rr = U()
-                p = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)), 0.1, 0.95)
-                act = act & (xi_rr < p)
-                comp = jnp.where(act, 1.0 / p, 1.0)
-                tr = tr * comp
-                tg = tg * comp
-                tb = tb * comp
-
-            hx = ox + dx * best_t
-            hy = oy + dy * best_t
-            hz = oz + dz * best_t
-            nx = (hx - b_cx) * b_ir
-            ny = (hy - b_cy) * b_ir
-            nz = (hz - b_cz) * b_ir
-
-            bx, by, bz = unit_ball()
-            d_dot_n = _dot3(dx, dy, dz, nx, ny, nz)
-            rfx = dx - 2.0 * d_dot_n * nx
-            rfy = dy - 2.0 * d_dot_n * ny
-            rfz = dz - 2.0 * d_dot_n * nz
-            mx, my, mz = _normalize3(rfx + bx * b_rgh, rfy + by * b_rgh,
-                                     rfz + bz * b_rgh)
-            side = _dot3(bx, by, bz, nx, ny, nz) > 0.0
-            sgn = jnp.where(side, 1.0, -1.0)
-            fx, fy, fz = _normalize3(nx + bx * sgn, ny + by * sgn,
-                                     nz + bz * sgn)
-            is_metal = b_met > 0.0
-            ndx = jnp.where(is_metal, mx, fx)
-            ndy = jnp.where(is_metal, my, fy)
-            ndz = jnp.where(is_metal, mz, fz)
-
-            if enable_refraction:
-                cos_in = _dot3(dx, dy, dz, nx, ny, nz)
-                front = cos_in < 0.0
-                sgn_n = jnp.where(front, 1.0, -1.0)
-                nex, ney, nez = nx * sgn_n, ny * sgn_n, nz * sgn_n
-                eta = jnp.where(front, 1.0 / b_ior, b_ior)
-                dt = _dot3(dx, dy, dz, nex, ney, nez)
-                disc_g = 1.0 - eta * eta * (1.0 - dt * dt)
-                can = disc_g > 0.0
-                sq_g = jnp.sqrt(jnp.maximum(disc_g, 0.0))
-                rfrx = (dx - nex * dt) * eta - nex * sq_g
-                rfry = (dy - ney * dt) * eta - ney * sq_g
-                rfrz = (dz - nez * dt) * eta - nez * sq_g
-                cosine = jnp.minimum(-dt, 1.0)
-                r0 = (1.0 - b_ior) / (1.0 + b_ior)
-                r0 = r0 * r0
-                omc = 1.0 - cosine
-                omc2 = omc * omc
-                schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
-                reflect_prob = jnp.where(can, schlick, 1.0)
-                use_refl = U() < reflect_prob
-                rf2x = dx - 2.0 * dt * nex
-                rf2y = dy - 2.0 * dt * ney
-                rf2z = dz - 2.0 * dt * nez
-                gx = jnp.where(use_refl, rf2x, rfrx)
-                gy = jnp.where(use_refl, rf2y, rfry)
-                gz = jnp.where(use_refl, rf2z, rfrz)
-                gx, gy, gz = _normalize3(gx, gy, gz)
-                is_glass = (b_met <= 0.0) & (b_rgh <= 0.0) & (b_ior > 1.0)
-                ndx = jnp.where(is_glass, gx, ndx)
-                ndy = jnp.where(is_glass, gy, ndy)
-                ndz = jnp.where(is_glass, gz, ndz)
-
-            tr = tr * b_ar
-            tg = tg * b_ag
-            tb = tb * b_ab
-            ox = jnp.where(act, hx, ox)
-            oy = jnp.where(act, hy, oy)
-            oz = jnp.where(act, hz, oz)
-            dx = jnp.where(act, ndx, dx)
-            dy = jnp.where(act, ndy, dy)
-            dz = jnp.where(act, ndz, dz)
-
-        # ---- spp accumulation across the (revisited) s grid axis ----
-        @pl.when(s == 0)
-        def _():
-            out_ref[0, 0] = cr
-            out_ref[1, 0] = cg
-            out_ref[2, 0] = cb
-            segs_ref[t] = seg_count
-
-        @pl.when(s > 0)
-        def _():
-            out_ref[0, 0] = out_ref[0, 0] + cr
-            out_ref[1, 0] = out_ref[1, 0] + cg
-            out_ref[2, 0] = out_ref[2, 0] + cb
-            segs_ref[t] = segs_ref[t] + seg_count
-
-        @pl.when(s == n_spp - 1)
-        def _():
-            inv_spp = 1.0 / n_spp
-            if gamma:
-                out_ref[0, 0] = jnp.clip(
-                    jnp.sqrt(jnp.maximum(out_ref[0, 0] * inv_spp, 0.0)), 0.0, 1.0)
-                out_ref[1, 0] = jnp.clip(
-                    jnp.sqrt(jnp.maximum(out_ref[1, 0] * inv_spp, 0.0)), 0.0, 1.0)
-                out_ref[2, 0] = jnp.clip(
-                    jnp.sqrt(jnp.maximum(out_ref[2, 0] * inv_spp, 0.0)), 0.0, 1.0)
+        def run_tile():
+            # ---- primary ray ----
+            if jitter and stratify:
+                # R2 lattice under a per-pixel Cranley-Patterson rotation
+                # (same estimator as the megakernel's stratify). The shift
+                # must be IDENTICAL across this frame's spp grid steps, so
+                # it comes from the counter hash keyed WITHOUT s — the
+                # hardware PRNG reseeds per (tile, s) and cannot reproduce
+                # a per-tile draw across s.
+                base = seed_ref[0] + t_global * n_spp
+                shift_u = _hash_uniform(flat, base, 9001)
+                shift_v = _hash_uniform(flat, base, 9002)
+                sf = s.astype(jnp.float32)
+                xu = shift_u + sf * R2_ALPHA_U
+                xu = xu - jnp.floor(xu)
+                xv = shift_v + sf * R2_ALPHA_V
+                xv = xv - jnp.floor(xv)
+            elif jitter:
+                xu = U()
+                xv = U()
             else:
-                out_ref[0, 0] = out_ref[0, 0] * inv_spp
-                out_ref[1, 0] = out_ref[1, 0] * inv_spp
-                out_ref[2, 0] = out_ref[2, 0] * inv_spp
+                xu = xv = 0.5
+            u = (px + xu) * inv_w
+            v = (py + xv) * inv_h
+            vx = (u - 0.5) * 2.0 * tf_aspect
+            vy = (0.5 - v) * 2.0 * tf
+            dx = fwx + rix * vx + upx * vy
+            dy = fwy + riy * vx + upy * vy
+            dz = fwz + riz * vx + upz * vy
+            dx, dy, dz = _normalize3(dx, dy, dz)
+            ox = jnp.full(shape, cpx)
+            oy = jnp.full(shape, cpy)
+            oz = jnp.full(shape, cpz)
+
+            if enable_dof:
+                # thin-lens DOF (same math as the megakernel)
+                ap = cam_ref[0, 14]
+                fo = cam_ref[0, 15]
+                cosf = dx * fwx + dy * fwy + dz * fwz
+                tfoc = fo / jnp.maximum(cosf, 1e-6)
+                fpx = ox + dx * tfoc
+                fpy = oy + dy * tfoc
+                fpz = oz + dz * tfoc
+                r_l = ap * jnp.sqrt(U())
+                ph = TWO_PI * U()
+                lx = r_l * jnp.cos(ph)
+                ly = r_l * jnp.sin(ph)
+                ox = ox + rix * lx + upx * ly
+                oy = oy + riy * lx + upy * ly
+                oz = oz + riz * lx + upz * ly
+                dx, dy, dz = _normalize3(fpx - ox, fpy - oy, fpz - oz)
+
+            tr = jnp.ones(shape, jnp.float32)
+            tg = jnp.ones(shape, jnp.float32)
+            tb = jnp.ones(shape, jnp.float32)
+            cr = jnp.zeros(shape, jnp.float32)
+            cg = jnp.zeros(shape, jnp.float32)
+            cb = jnp.zeros(shape, jnp.float32)
+            act = jnp.ones(shape, jnp.bool_)
+            seg_count = jnp.int32(0)
+            if nee:
+                # lanes whose previous scatter was diffuse already counted
+                # direct light via their shadow ray; camera hits always emit
+                no_emit = jnp.zeros(shape, jnp.bool_)
+
+            # ---- bounce loop (unrolled; one fori level stays free for the
+            # cluster loop) ----
+            for depth_idx in range(1, max_depth + 1):
+                rr_on = depth_idx > rr_start
+                seg_count = seg_count + jnp.sum(act.astype(jnp.int32))
+
+                if cone_scan and depth_idx == 1:
+                    scan_phase = "cone"
+                elif reach_scan and depth_idx > 1:
+                    scan_phase = "reach"
+                else:
+                    scan_phase = "vector"
+                traverse(ox, oy, oz, dx, dy, dz, act,
+                         jnp.full(shape, T_MAX), scan_phase)
+
+                vals = tuple(best_ref[i] for i in range(NB))
+                (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
+                 b_p4) = vals[:10]
+                if NB == 11:
+                    b_is_tri = vals[10] > 0.0
+
+                def unpack(p):
+                    bits = pltpu.bitcast(p, jnp.int32)
+                    lo = pltpu.bitcast(
+                        jax.lax.shift_left(bits, 16), jnp.float32)
+                    hi = pltpu.bitcast(bits & jnp.int32(-65536), jnp.float32)
+                    return lo, hi
+
+                b_ar, b_ag = unpack(b_p0)
+                b_ab, b_met = unpack(b_p1)
+                b_rgh, b_ior = unpack(b_p2)
+                b_er, b_eg = unpack(b_p3)
+                b_eb, _unused = unpack(b_p4)
+
+                # ---- shading (identical to the megakernel) ----
+                hit = best_t < T_MAX
+                miss = act & ~hit
+                missf = miss.astype(jnp.float32)
+                cr = cr + missf * tr * bgx
+                cg = cg + missf * tg * bgy
+                cb = cb + missf * tb * bgz
+                act = act & hit
+                if nee:
+                    # post-diffuse suppression applies to SPHERE emission
+                    # only: triangles are not in the NEE light cdf, so
+                    # their BSDF-path emission is the sole estimator of
+                    # that light (same split as ops/integrator.py)
+                    suppress = (no_emit & ~b_is_tri) if NB == 11 else no_emit
+                    emitf = (act & ~suppress).astype(jnp.float32)
+                else:
+                    emitf = act.astype(jnp.float32)
+                cr = cr + emitf * tr * b_er
+                cg = cg + emitf * tg * b_eg
+                cb = cb + emitf * tb * b_eb
+
+                if rr_on:
+                    xi_rr = U()
+                    p = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)),
+                                 0.1, 0.95)
+                    act = act & (xi_rr < p)
+                    comp = jnp.where(act, 1.0 / p, 1.0)
+                    tr = tr * comp
+                    tg = tg * comp
+                    tb = tb * comp
+
+                hx = ox + dx * best_t
+                hy = oy + dy * best_t
+                hz = oz + dz * best_t
+                nx = (hx - b_cx) * b_ir
+                ny = (hy - b_cy) * b_ir
+                nz = (hz - b_cz) * b_ir
+
+                bx, by, bz = unit_ball()
+                d_dot_n = _dot3(dx, dy, dz, nx, ny, nz)
+                rfx = dx - 2.0 * d_dot_n * nx
+                rfy = dy - 2.0 * d_dot_n * ny
+                rfz = dz - 2.0 * d_dot_n * nz
+                mx, my, mz = _normalize3(rfx + bx * b_rgh, rfy + by * b_rgh,
+                                         rfz + bz * b_rgh)
+                if nee:
+                    # exact cosine-weighted diffuse: n + (on-sphere unit)
+                    # is distributed cos(theta)/pi (the NEE estimator's
+                    # defining sampler — same as the megakernel and
+                    # ops/integrator.py _scatter_directions(cosine=True))
+                    sx_, sy_, sz_ = _normalize3(bx, by, bz)
+                    cdx_, cdy_, cdz_ = nx + sx_, ny + sy_, nz + sz_
+                    l2_ = cdx_ * cdx_ + cdy_ * cdy_ + cdz_ * cdz_
+                    deg_ = l2_ < 1e-12
+                    inv_ = _rsqrt_safe(l2_)
+                    fx = jnp.where(deg_, nx, cdx_ * inv_)
+                    fy = jnp.where(deg_, ny, cdy_ * inv_)
+                    fz = jnp.where(deg_, nz, cdz_ * inv_)
+                else:
+                    side = _dot3(bx, by, bz, nx, ny, nz) > 0.0
+                    sgn = jnp.where(side, 1.0, -1.0)
+                    fx, fy, fz = _normalize3(nx + bx * sgn, ny + by * sgn,
+                                             nz + bz * sgn)
+                is_metal = b_met > 0.0
+                ndx = jnp.where(is_metal, mx, fx)
+                ndy = jnp.where(is_metal, my, fy)
+                ndz = jnp.where(is_metal, mz, fz)
+
+                if enable_refraction:
+                    cos_in = _dot3(dx, dy, dz, nx, ny, nz)
+                    front = cos_in < 0.0
+                    sgn_n = jnp.where(front, 1.0, -1.0)
+                    nex, ney, nez = nx * sgn_n, ny * sgn_n, nz * sgn_n
+                    eta = jnp.where(front, 1.0 / b_ior, b_ior)
+                    dt = _dot3(dx, dy, dz, nex, ney, nez)
+                    disc_g = 1.0 - eta * eta * (1.0 - dt * dt)
+                    can = disc_g > 0.0
+                    sq_g = jnp.sqrt(jnp.maximum(disc_g, 0.0))
+                    rfrx = (dx - nex * dt) * eta - nex * sq_g
+                    rfry = (dy - ney * dt) * eta - ney * sq_g
+                    rfrz = (dz - nez * dt) * eta - nez * sq_g
+                    cosine = jnp.minimum(-dt, 1.0)
+                    r0 = (1.0 - b_ior) / (1.0 + b_ior)
+                    r0 = r0 * r0
+                    omc = 1.0 - cosine
+                    omc2 = omc * omc
+                    schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
+                    reflect_prob = jnp.where(can, schlick, 1.0)
+                    use_refl = U() < reflect_prob
+                    rf2x = dx - 2.0 * dt * nex
+                    rf2y = dy - 2.0 * dt * ney
+                    rf2z = dz - 2.0 * dt * nez
+                    gx = jnp.where(use_refl, rf2x, rfrx)
+                    gy = jnp.where(use_refl, rf2y, rfry)
+                    gz = jnp.where(use_refl, rf2z, rfrz)
+                    gx, gy, gz = _normalize3(gx, gy, gz)
+                    is_glass = (b_met <= 0.0) & (b_rgh <= 0.0) & (b_ior > 1.0)
+                    ndx = jnp.where(is_glass, gx, ndx)
+                    ndy = jnp.where(is_glass, gy, ndy)
+                    ndz = jnp.where(is_glass, gz, ndz)
+
+                if nee:
+                    # ---- next-event estimation (VERDICT r3 item 2): one
+                    # shadow ray per diffuse lane to a solid-angle-sampled
+                    # point on a uniformly chosen emissive sphere; occlusion
+                    # is a second pass of the SAME compacted traversal with
+                    # best_t seeded at the light-entry t. Estimator
+                    #   thr * albedo/pi * cos * Le * (1/pdf_omega) * n_lights
+                    # — identical to the megakernel and the lax path,
+                    # stream-different. ----
+                    is_spec = is_metal
+                    if enable_refraction:
+                        is_spec = is_spec | is_glass
+                    diffuse_lane = act & ~is_spec
+
+                    # light pick: first SMEM light row whose cdf crosses
+                    # the draw (uniform over the table's emissive spheres)
+                    u_l2 = U()
+                    found = jnp.zeros(shape, jnp.bool_)
+                    l_cx = jnp.zeros(shape, jnp.float32)
+                    l_cy = jnp.zeros(shape, jnp.float32)
+                    l_cz = jnp.zeros(shape, jnp.float32)
+                    l_r = jnp.zeros(shape, jnp.float32)
+                    l_er = jnp.zeros(shape, jnp.float32)
+                    l_eg = jnp.zeros(shape, jnp.float32)
+                    l_eb = jnp.zeros(shape, jnp.float32)
+                    for n in range(n_lights_max):
+                        pick = (~found) & (lights_ref[n * 8 + 7] >= u_l2)
+                        found = found | pick
+                        l_cx = jnp.where(pick, lights_ref[n * 8 + 0], l_cx)
+                        l_cy = jnp.where(pick, lights_ref[n * 8 + 1], l_cy)
+                        l_cz = jnp.where(pick, lights_ref[n * 8 + 2], l_cz)
+                        l_r = jnp.where(pick, lights_ref[n * 8 + 3], l_r)
+                        l_er = jnp.where(pick, lights_ref[n * 8 + 4], l_er)
+                        l_eg = jnp.where(pick, lights_ref[n * 8 + 5], l_eg)
+                        l_eb = jnp.where(pick, lights_ref[n * 8 + 6], l_eb)
+
+                    # cone subtended by the light from the hit point
+                    tlx = l_cx - hx
+                    tly = l_cy - hy
+                    tlz = l_cz - hz
+                    d2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz,
+                                     1e-12)
+                    sin2 = (l_r * l_r) / d2
+                    inside = sin2 >= 1.0
+                    cos_max = jnp.sqrt(jnp.clip(1.0 - sin2, 0.0, 1.0))
+                    xi1 = U()
+                    xi2 = U()
+                    cos_t = 1.0 - xi1 * (1.0 - cos_max)
+                    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                    phi_l = TWO_PI * xi2
+                    inv_dl = jax.lax.rsqrt(d2)
+                    wx_, wy_, wz_ = tlx * inv_dl, tly * inv_dl, tlz * inv_dl
+                    # orthonormal basis around w (branchless axis pick)
+                    big_ = jnp.abs(wx_) > 0.9
+                    ax_ = jnp.where(big_, 0.0, 1.0)
+                    ay_ = jnp.where(big_, 1.0, 0.0)
+                    t1x = ay_ * wz_            # cross(a, w), az == 0
+                    t1y = -ax_ * wz_
+                    t1z = ax_ * wy_ - ay_ * wx_
+                    t1x, t1y, t1z = _normalize3(t1x, t1y, t1z)
+                    t2x = wy_ * t1z - wz_ * t1y
+                    t2y = wz_ * t1x - wx_ * t1z
+                    t2z = wx_ * t1y - wy_ * t1x
+                    sc_ = sin_t * jnp.cos(phi_l)
+                    ss_ = sin_t * jnp.sin(phi_l)
+                    ldx = wx_ * cos_t + t1x * sc_ + t2x * ss_
+                    ldy = wy_ * cos_t + t1y * sc_ + t2y * ss_
+                    ldz = wz_ * cos_t + t1z * sc_ + t2z * ss_
+                    weight = TWO_PI * (1.0 - cos_max)  # 1 / pdf_omega
+
+                    # t to the chosen light along the shadow ray
+                    locx = hx - l_cx
+                    locy = hy - l_cy
+                    locz = hz - l_cz
+                    lhb = locx * ldx + locy * ldy + locz * ldz
+                    lcq = (locx * locx + locy * locy + locz * locz
+                           - l_r * l_r)
+                    ldisc = lhb * lhb - lcq
+                    lsq = jnp.sqrt(jnp.maximum(ldisc, 0.0))
+                    lt0 = -lhb - lsq
+                    lt1 = -lhb + lsq
+                    t_light = jnp.where(lt0 >= 1e-3, lt0, lt1)
+                    light_ok = (ldisc >= 0.0) & (t_light >= 1e-3)
+                    # strict margin: the light's own entry root equals
+                    # t_light, so it never self-occludes
+                    t_edge = t_light - 1e-3
+
+                    ndl = nx * ldx + ny * ldy + nz * ldz
+                    gate_pre = (diffuse_lane & light_ok & ~inside
+                                & (ndl > 0.0) & (n_lights > 0.0))
+                    # occlusion: shadow wavefront through the same
+                    # traversal; the per-lane t_init doubles as the
+                    # running-t slab bound, pruning clusters beyond the
+                    # light for free
+                    t_sh = jnp.where(gate_pre, t_edge, jnp.float32(1e-3))
+                    traverse(hx, hy, hz, ldx, ldy, ldz, gate_pre, t_sh,
+                             "vector")
+                    occ = best_ref[0] < t_edge
+                    gate = gate_pre & ~occ
+                    gf = gate.astype(jnp.float32)
+                    scale = gf * ndl * weight * (n_lights
+                                                 * 0.3183098861837907)
+                    cr = cr + tr * b_ar * scale * l_er
+                    cg = cg + tg * b_ag * scale * l_eg
+                    cb = cb + tb * b_ab * scale * l_eb
+                    seg_count = seg_count + jnp.sum(
+                        diffuse_lane.astype(jnp.int32))
+                    # ADVICE r3: when the sampled light CONTAINS the hit
+                    # point, NEE contributed nothing — the next-bounce BSDF
+                    # emission is then the only estimator of that light and
+                    # must not be suppressed. (Residual limitation, shared
+                    # by all three engines: with multiple lights an inside
+                    # point still under-counts by the pick probability.)
+                    no_emit = diffuse_lane & ~inside
+
+                tr = tr * b_ar
+                tg = tg * b_ag
+                tb = tb * b_ab
+                ox = jnp.where(act, hx, ox)
+                oy = jnp.where(act, hy, oy)
+                oz = jnp.where(act, hz, oz)
+                dx = jnp.where(act, ndx, dx)
+                dy = jnp.where(act, ndy, dy)
+                dz = jnp.where(act, ndz, dz)
+
+            # ---- spp accumulation across the (revisited) s grid axis ----
+            @pl.when(s == 0)
+            def _():
+                out_ref[0, 0] = cr
+                out_ref[1, 0] = cg
+                out_ref[2, 0] = cb
+                segs_ref[t] = seg_count
+
+            @pl.when(s > 0)
+            def _():
+                out_ref[0, 0] = out_ref[0, 0] + cr
+                out_ref[1, 0] = out_ref[1, 0] + cg
+                out_ref[2, 0] = out_ref[2, 0] + cb
+                segs_ref[t] = segs_ref[t] + seg_count
+
+            @pl.when(s == n_spp - 1)
+            def _():
+                inv_spp = 1.0 / n_spp
+                if gamma:
+                    out_ref[0, 0] = jnp.clip(
+                        jnp.sqrt(jnp.maximum(out_ref[0, 0] * inv_spp, 0.0)),
+                        0.0, 1.0)
+                    out_ref[1, 0] = jnp.clip(
+                        jnp.sqrt(jnp.maximum(out_ref[1, 0] * inv_spp, 0.0)),
+                        0.0, 1.0)
+                    out_ref[2, 0] = jnp.clip(
+                        jnp.sqrt(jnp.maximum(out_ref[2, 0] * inv_spp, 0.0)),
+                        0.0, 1.0)
+                else:
+                    out_ref[0, 0] = out_ref[0, 0] * inv_spp
+                    out_ref[1, 0] = out_ref[1, 0] * inv_spp
+                    out_ref[2, 0] = out_ref[2, 0] * inv_spp
+
+        if adaptive:
+            # per-tile early-exit (adaptive sampling): converged tiles
+            # (mask 0) skip the whole trace — the scalar core branches
+            # around all vector work. The s==0 zero write keeps the
+            # revisited output block defined; the accumulator ignores
+            # masked tiles (render/frame.py accumulate_tiled).
+            tile_on = mask_ref[t] > 0
+
+            @pl.when(tile_on)
+            def _():
+                run_tile()
+
+            @pl.when(jnp.logical_not(tile_on) & (s == 0))
+            def _():
+                z = jnp.zeros(shape, jnp.float32)
+                out_ref[0, 0] = z
+                out_ref[1, 0] = z
+                out_ref[2, 0] = z
+                segs_ref[t] = jnp.int32(0)
+        else:
+            run_tile()
 
     return kernel
 
@@ -1306,7 +1537,8 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                      "cluster_size", "n_global", "n_active", "fast_sweep",
                      "n_tri_global", "n_tri_active", "rows",
                      "square_blocks", "enable_dof", "reach_scan", "vma",
-                     "use_third_level", "cone_scan"),
+                     "use_third_level", "cone_scan", "nee", "stratify",
+                     "n_lights_max"),
 )
 def render_cluster(
     scene: SphereScene,
@@ -1338,6 +1570,10 @@ def render_cluster(
     tri_prebuilt: ClusteredScene | None = None,
     vma: tuple[str, ...] | None = None,
     use_third_level: bool | None = None,
+    nee: bool = False,
+    stratify: bool = False,
+    n_lights_max: int = 8,
+    tile_mask: jnp.ndarray | None = None,
 ):
     """Large-scene fused render; returns (height, width, 3) f32 in [0, 1].
 
@@ -1422,10 +1658,37 @@ def render_cluster(
     n_tiles = blocks_x * blocks_y
 
     cam_packed = _pack_camera(cam)
-    bg = clustered.background.reshape(1, 3)
+    if nee:
+        # Emissive-sphere light table for the in-kernel NEE pick: the first
+        # n_lights_max lights (by scene index, stable) as flattened SMEM
+        # rows [cx cy cz r er eg eb cdf]. Scene-edit-hot VALUES only — no
+        # recompile. Scenes with more emissive spheres than the static cap
+        # should raise n_lights_max: overflow lights are neither sampled
+        # nor exempted from the post-diffuse suppression, so their diffuse
+        # direct light is lost (the megakernel has no such cap because its
+        # cdf rides the <=64-row attr bucket itself).
+        sc = jax.lax.optimization_barrier(scene)  # gather-folder shield
+        em_max = jnp.max(sc.emission, axis=-1)
+        is_light = sc.valid & (em_max > 0.0) & (sc.radius > 0.0)
+        order = jnp.argsort(~is_light, stable=True)  # lights first
+        idx = order[:n_lights_max]
+        lw = is_light[idx].astype(jnp.float32)
+        n_lights = jnp.sum(lw)
+        cdf = jnp.cumsum(lw) / jnp.maximum(n_lights, 1.0)
+        lights = jnp.concatenate(
+            [sc.center[idx], sc.radius[idx, None] * lw[:, None],
+             sc.emission[idx], cdf[:, None]], axis=-1).reshape(-1)
+    else:
+        n_lights = jnp.float32(0.0)
+        lights = None
+    bg = jnp.concatenate(
+        [clustered.background,
+         jnp.asarray(n_lights, jnp.float32)[None]]).reshape(1, 4)
     seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
                           jnp.asarray(row_offset, jnp.int32)]).reshape(2)
 
+    adaptive = tile_mask is not None
+    NB = 11 if (nee and (GT or ST)) else 10
     kernel = _make_kernel(width, height, spp, max_depth, G, S, C,
                           jitter=jitter, enable_refraction=enable_refraction,
                           gamma=gamma, hash_rng=interpret,
@@ -1434,7 +1697,9 @@ def render_cluster(
                           square_blocks=square_blocks,
                           enable_dof=enable_dof, reach_scan=reach_scan,
                           n_ss=S2, n_tri_ss=ST2, cone_scan=cone_scan,
-                          direct_sph=direct_sph, direct_tri=direct_tri)
+                          direct_sph=direct_sph, direct_tri=direct_tri,
+                          nee=nee, n_lights_max=n_lights_max,
+                          stratify=stratify, adaptive=adaptive)
 
     # The attribute tables are DMA'd per cluster into SMEM scratch, so they
     # need not be VMEM-resident: past ~8 MB (>~100k primitives) they live
@@ -1443,24 +1708,39 @@ def render_cluster(
     def _table_space(t):
         return (pltpu.VMEM if t.size * 4 <= 8 * 2 ** 20 else pl.ANY)
 
+    inputs = [cam_packed, clustered.glob_attr,
+              clustered.ss_boxes.reshape(-1),
+              clustered.super_boxes.reshape(-1), cboxes.reshape(-1), bg,
+              seed_arr, clustered.attr, tglob, tssboxes.reshape(-1),
+              tsboxes.reshape(-1), tcboxes.reshape(-1), tattr]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # global attrs
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # super-super boxes
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # super boxes
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # child boxes (direct)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # background
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+        pl.BlockSpec(memory_space=_table_space(clustered.attr)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # tri global attrs
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # tri super-super boxes
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # tri super boxes
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # tri child boxes
+        pl.BlockSpec(memory_space=_table_space(tattr)),
+    ]
+    if nee:
+        inputs.append(lights)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # light rows
+    if adaptive:
+        # per-tile render mask (adaptive sampling): 0 = converged, skip.
+        # Tiles are this engine's SCREEN BLOCKS (blk_h x blk_w pixels),
+        # not the megakernel's linear TILE runs.
+        inputs.append(jnp.asarray(tile_mask, jnp.int32).reshape(n_tiles))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     out, segs = pl.pallas_call(
         kernel,
         grid=(n_tiles, spp),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # global attrs
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # super-super boxes
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # super boxes
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # child boxes (direct)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # background
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
-            pl.BlockSpec(memory_space=_table_space(clustered.attr)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri global attrs
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri super-super boxes
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri super boxes
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri child boxes
-            pl.BlockSpec(memory_space=_table_space(tattr)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((3, 1, SUBLANES, LANES), lambda t, s: (0, t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1476,7 +1756,7 @@ def render_cluster(
                                  vma=None if vma is None else frozenset(vma)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((10, SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((NB, SUBLANES, LANES), jnp.float32),
             # attr DMA double-buffer: int32 words like the tables
             pltpu.SMEM((2, (C * 16) // LANES + 1, LANES), jnp.int32),
             # slist: crossed CHILDREN on the direct path, else supers
@@ -1490,10 +1770,7 @@ def render_cluster(
         ],
         interpret=interpret,
         # box tables flattened to 1D: 2D SMEM arrays pad rows to 512 B
-    )(cam_packed, clustered.glob_attr, clustered.ss_boxes.reshape(-1),
-      clustered.super_boxes.reshape(-1), cboxes.reshape(-1), bg, seed_arr,
-      clustered.attr, tglob, tssboxes.reshape(-1), tsboxes.reshape(-1),
-      tcboxes.reshape(-1), tattr)
+    )(*inputs)
 
     # reassemble screen blocks -> image (band)
     if square_blocks:

@@ -627,7 +627,11 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                     cb = cb + tb * b_ab * scale * l_eb
                     seg_count = seg_count + jnp.sum(
                         diffuse_lane.astype(jnp.int32))
-                    no_emit = diffuse_lane
+                    # inside the sampled light, NEE contributed nothing:
+                    # keep next-bounce BSDF emission (ADVICE r3; same
+                    # semantics and residual multi-light limitation as
+                    # ops/integrator.py)
+                    no_emit = diffuse_lane & ~inside
 
                 tr = tr * b_ar
                 tg = tg * b_ag

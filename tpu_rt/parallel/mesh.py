@@ -64,7 +64,8 @@ def make_mesh(
     jax.jit,
     static_argnames=("mesh", "width", "height", "spp", "max_depth", "mode",
                      "enable_refraction", "gamma", "engine", "n_active",
-                     "interpret", "n_tri_active", "enable_dof", "use_bvh"),
+                     "interpret", "n_tri_active", "enable_dof", "use_bvh",
+                     "nee", "stratify"),
 )
 def render_sharded(
     scene: SphereScene,
@@ -85,6 +86,8 @@ def render_sharded(
     n_tri_active: int | None = None,
     enable_dof: bool = False,
     use_bvh: bool = False,
+    nee: bool = False,
+    stratify: bool = False,
 ):
     """Render one frame over the mesh; returns (height, width, 3) f32.
 
@@ -100,6 +103,14 @@ def render_sharded(
     spheres); the lax engine additionally honors ``use_bvh`` — the single
     sharded entry point renders everything everywhere, matching the
     reference's one render() API (binding.cpp:99-101).
+
+    ``nee`` (next-event estimation) and ``stratify`` (R2 pixel lattice)
+    thread through to every engine (VERDICT r3 item 3). Under sample-axis
+    sharding the lax engine stratifies across the GLOBAL spp (lattice
+    index si*spp_per + s with a tile-keyed shift, so the sharded frame
+    equals the single-device pattern); the Pallas engines stratify within
+    each sample shard (per-shard seeds key their shifts), which preserves
+    the estimator mean and most of the variance win.
     """
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
@@ -135,6 +146,7 @@ def render_sharded(
                 n_active=n_active, rows=rows_per, row_offset=row0,
                 interpret=interpret, mesh=mesh_rep,
                 n_tri_active=n_tri_active, enable_dof=enable_dof,
+                nee=nee, stratify=stratify,
             )
             band = jax.lax.pmean(band, axis_name="sample")
             if gamma:
@@ -152,16 +164,34 @@ def render_sharded(
                 n_active=n_active, rows=rows_per, row_offset=row0,
                 interpret=interpret, enable_dof=enable_dof,
                 mesh=mesh_rep, n_tri_active=n_tri_active,
+                nee=nee, stratify=stratify,
             )
             band = jax.lax.pmean(band, axis_name="sample")
             if gamma:
                 band = jnp.clip(jnp.sqrt(jnp.maximum(band, 0.0)), 0.0, 1.0)
             return band
 
+        if stratify:
+            # per-pixel Cranley-Patterson shift, keyed WITHOUT the sample
+            # index: sample-axis shards share it, so the union of their
+            # global lattice indices reproduces the single-device pattern
+            cp_shift = jax.random.uniform(
+                jax.random.fold_in(jax.random.fold_in(key_rep, ti),
+                                   0x7FFFABCD),
+                (rows_per, width, 2), dtype=jnp.float32)
+            r2_alpha = jnp.array([0.7548776662466927, 0.5698402909980532],
+                                 jnp.float32)
+
         def sample_pass(carry, s):
             k_s = jax.random.fold_in(dev_key, s)
             k_jit, k_trace = jax.random.split(k_s)
-            xi = jax.random.uniform(k_jit, (rows_per, width, 2), jnp.float32)
+            if stratify:
+                s_g = (si * spp_per + s).astype(jnp.float32)
+                xi = cp_shift + s_g * r2_alpha
+                xi = xi - jnp.floor(xi)
+            else:
+                xi = jax.random.uniform(k_jit, (rows_per, width, 2),
+                                        jnp.float32)
             jj, ii = jnp.meshgrid(
                 jnp.arange(rows_per, dtype=jnp.float32) + row0,
                 jnp.arange(width, dtype=jnp.float32),
@@ -179,7 +209,7 @@ def render_sharded(
             color = trace(
                 scene_rep, o, d, k_trace, max_depth=max_depth, mode=mode,
                 enable_refraction=enable_refraction,
-                mesh=mesh_rep, use_bvh=use_bvh,
+                mesh=mesh_rep, use_bvh=use_bvh, nee=nee,
             )
             return carry + color, None
 

@@ -76,28 +76,6 @@ def _warn_lax_fallback(scene) -> None:
         RuntimeWarning, stacklevel=3)
 
 
-_warned_nee_downgrade = False
-
-
-def _warn_nee_downgrade() -> None:
-    """nee=True past the megakernel bucket downgrades auto-dispatch from
-    the cluster engine to the general lax pipeline — a large-scene perf
-    cliff (the cluster engine keeps the reference estimator only). Say it
-    once rather than silently rendering orders of magnitude slower."""
-    global _warned_nee_downgrade
-    if _warned_nee_downgrade:
-        return
-    _warned_nee_downgrade = True
-    import warnings
-
-    warnings.warn(
-        "tpu_rt: nee=True is not supported by the cluster engine; this "
-        "large scene renders through the general lax pipeline instead "
-        "(much slower at scale). Pass nee=False to use the cluster "
-        "engine, or keep NEE for small-bucket scenes.",
-        RuntimeWarning, stacklevel=3)
-
-
 def _pallas_eligible(scene, mode, enable_refraction, gamma, mesh) -> bool:
     """The fused megakernel covers the production configuration: v2
     estimator, sphere scenes up to a modest bucket (the sphere loop is
@@ -220,32 +198,25 @@ def render(
     device->host pull of scene.valid on every interactive batch.
     ``nee=True`` (v2 only) renders with next-event estimation — direct
     light via shadow rays at every diffuse hit — a much lower-variance
-    estimator for the same scene. Supported by the lax pipeline
-    (ops/integrator.py) and fused into the megakernel
-    (ops/pallas_megakernel.py); the cluster engine keeps the reference
-    estimator, so auto-dispatch falls back to lax past the megakernel
-    bucket.
+    estimator for the same scene. All three engines: the lax pipeline
+    (ops/integrator.py), the fused megakernel (ops/pallas_megakernel.py),
+    and the cluster engine (ops/pallas_cluster.py, shadow rays through a
+    second pass of the compacted traversal), so large scenes keep their
+    fast path.
 
     ``stratify=True`` replaces i.i.d. pixel jitter with the R2
     low-discrepancy lattice under a per-pixel Cranley-Patterson shift:
     each pixel's spp samples tile its footprint quasi-uniformly (lower AA
     variance at equal cost; same mean — each sample's marginal stays
-    uniform). Megakernel and lax engines; the cluster engine keeps i.i.d.
-    jitter.
+    uniform). All three engines.
 
-    ``tile_mask`` (megakernel only): (n_tiles,) int32 adaptive-sampling
-    mask — tiles with 0 are skipped at ~zero cost and return zeros; merge
-    the result with :func:`accumulate_tiled`.
+    ``tile_mask``: (n_tiles,) int32 adaptive-sampling mask — tiles with 0
+    are skipped at ~zero cost and return zeros. Tile geometry is
+    engine-specific: the megakernel uses linear 4096-pixel runs (merge
+    with :func:`accumulate_tiled`), the cluster engine 32x128 screen
+    blocks (:func:`cluster_tile_map` + :func:`accumulate_tiled_mapped`).
+    Not available on the lax engine.
     """
-    if nee:
-        if engine == "cluster":
-            raise ValueError(
-                "nee=True is not supported by the cluster engine; use "
-                "engine='auto', 'pallas', or 'lax'")
-        if engine == "auto" and select_engine(
-                scene, mode, enable_refraction, gamma, mesh) == "cluster":
-            _warn_nee_downgrade()
-            engine = "lax"
     if enable_dof is None:
         # Auto-detect thin-lens DOF from the camera. The aperture is host
         # data in every interactive path (Camera.to_params builds CameraP
@@ -259,10 +230,11 @@ def render(
 
     resolved = select_engine(scene, mode, enable_refraction, gamma, mesh,
                              engine)
-    if tile_mask is not None and resolved != "pallas":
+    if tile_mask is not None and resolved == "lax":
         raise ValueError(
-            "tile_mask (adaptive sampling) is a megakernel capability; "
-            f"this configuration resolves to engine={resolved!r}")
+            "tile_mask (adaptive sampling) is a Pallas-engine capability "
+            "(megakernel: linear 4096-pixel tiles; cluster: 32x128 screen "
+            f"blocks); this configuration resolves to engine={resolved!r}")
     # Warn (once) only when actually rendering: querying select_engine is
     # side-effect free, and forced engine= choices are deliberate.
     if (resolved == "lax" and engine == "auto" and mode == "v2" and gamma
@@ -313,6 +285,7 @@ def render(
             with_stats=with_stats, n_active=n_active,
             mesh=mesh, n_tri_active=n_tri_active, enable_dof=enable_dof,
             prebuilt=prebuilt, tri_prebuilt=tri_prebuilt,
+            nee=nee, stratify=stratify, tile_mask=tile_mask,
         )
     if resolved == "pallas":
         from ..ops.pallas_megakernel import render_pallas
@@ -464,6 +437,47 @@ def accumulate_tiled(acc, counts, batch, tile_mask, n_new, tile_px):
     pad = counts.shape[0] * tile_px - n_pix
     diff = jnp.concatenate([diff, jnp.zeros((pad,), diff.dtype)])
     tile_change = diff.reshape(counts.shape[0], tile_px).mean(axis=-1)
+    return acc_new, new_counts, tile_change * on
+
+
+def cluster_tile_map(width: int, height: int):
+    """Pixel -> tile-id map for the CLUSTER engine's adaptive masks.
+
+    The cluster engine renders 32x128-pixel screen blocks (row-major over
+    ceil(h/32) x ceil(w/128) blocks — ops/pallas_cluster.py), unlike the
+    megakernel's linear 4096-pixel runs. Returns ((h, w) int32 map,
+    n_tiles); pair with :func:`accumulate_tiled_mapped`.
+    """
+    from ..ops.pallas_cluster import LANES, SUBLANES
+
+    bx = -(-width // LANES)
+    by = -(-height // SUBLANES)
+    ys = jnp.arange(height, dtype=jnp.int32) // SUBLANES
+    xs = jnp.arange(width, dtype=jnp.int32) // LANES
+    return ys[:, None] * bx + xs[None, :], bx * by
+
+
+@partial(jax.jit, static_argnames=("n_tiles",))
+def accumulate_tiled_mapped(acc, counts, batch, tile_mask, n_new, tile_map,
+                            n_tiles):
+    """Per-tile progressive merge for an arbitrary pixel->tile map — the
+    cluster-engine counterpart of :func:`accumulate_tiled` (whose tiles
+    are linear pixel runs). Same contract: returns (acc', counts',
+    tile_change) with tile_change the mean |batch - acc| per ACTIVE tile.
+    """
+    on = tile_mask.astype(jnp.float32)
+    new_counts = counts + on * n_new
+    w_new = jnp.where(new_counts > 0, n_new / jnp.maximum(new_counts, 1.0),
+                      0.0) * on
+    w_px = w_new[tile_map][..., None]
+    acc_new = acc + (batch - acc) * w_px
+
+    diff = jnp.mean(jnp.abs(batch - acc), axis=-1)
+    flat_map = tile_map.reshape(-1)
+    sums = jnp.zeros((n_tiles,), jnp.float32).at[flat_map].add(
+        diff.reshape(-1))
+    cnts = jnp.zeros((n_tiles,), jnp.float32).at[flat_map].add(1.0)
+    tile_change = sums / jnp.maximum(cnts, 1.0)
     return acc_new, new_counts, tile_change * on
 
 
