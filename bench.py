@@ -217,6 +217,15 @@ def main() -> None:
             "device": str(dev),
         },
     }
+    # Chip-utilization roofline (BASELINE.md "Chip utilization"): uses the
+    # steady-state frame time so dispatch overhead is already amortized.
+    # Never allowed to sink the headline — any failure is recorded inline.
+    try:
+        from tpu_rt.utils.roofline import roofline_report
+        out["extras"]["roofline"] = roofline_report(
+            frame_s, WIDTH, HEIGHT, SPP, DEPTH, n_spheres=n_active)
+    except Exception as e:  # pragma: no cover - defensive for the driver
+        out["extras"]["roofline"] = {"error": repr(e)[:200]}
     if regression_pct is not None and regression_pct < -3.0:
         print(f"REGRESSION: {regression_pct}% vs best prior round "
               f"({best} Mrays/s) — bisect before shipping", file=sys.stderr)

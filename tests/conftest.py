@@ -21,8 +21,14 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; pin the
-# default device to CPU so tests are hermetic and leave the chip free.
+# The axon TPU plugin's register() (sitecustomize in every process) OVERRIDES
+# jax_platforms to "axon,cpu", so the env setdefault above never wins and any
+# jax.devices() call initializes the TPU backend. Re-pin to CPU-only so the
+# suite never touches the chip: a wedged tunnel (observed 2026-08-20: 25 min
+# of zero output before collection, then SIGTERM) cannot hang a CPU suite.
+# Opt back in with TPU_RT_TESTS_ON_TPU=1 for on-chip test runs.
+if not os.environ.get("TPU_RT_TESTS_ON_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 
