@@ -57,6 +57,11 @@ SUBLANES = 32
 LANES = 128
 TILE = SUBLANES * LANES  # rays per program
 
+# Per-tile all-dead bounce early exit (kill switch for A/B measurement):
+# bounces 2..D are gated on any-lane-alive via pl.when + VMEM scratch
+# state. Sky tiles stop paying for the sphere sweep after bounce 1.
+BOUNCE_EARLY_EXIT = True
+
 _INV_U32 = 2.3283064365386963e-10  # 1 / 2^32 (PCG32::random_float scale)
 TWO_PI = 6.2831853071795864
 # R2 low-discrepancy sequence: (1/p, 1/p^2) for the plastic number p —
@@ -136,8 +141,12 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
     on the following bounce (the same estimator as
     ops/integrator.py trace(nee=True), stream-different)."""
 
+    early_exit = BOUNCE_EARLY_EXIT and max_depth >= 2
+
     def kernel(cam_ref, attr_ref, tri_geo_ref, tri_mat_ref, bg_ref,
                seed_ref, *rest):
+        if early_exit:
+            *rest, st_ref, seg_sc = rest
         if adaptive:
             mask_ref, out_ref, segs_ref = rest
         else:
@@ -646,18 +655,63 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                         no_emit, seg_count)
 
             # Full static unroll over bounces: no loop overhead, static RR
-            # gating, everything in registers. (A fori_loop here would nest
-            # inside the spp fori_loop and a per-tile lax.cond early-exit
-            # both fail to legalize in this Mosaic toolchain — measured
-            # alternatives, not oversights.)
+            # gating. (A fori_loop here would nest inside the spp fori_loop
+            # and a per-tile lax.cond early-exit both fail to legalize in
+            # this Mosaic toolchain — measured alternatives, not oversights.)
             # Depth 32 costs ~4 min of one-time, persistently-cached compile;
             # runtime is unaffected.
-            for depth_idx in range(1, max_depth + 1):
-                state = bounce(depth_idx > rr_start, state)
+            if not early_exit:
+                for depth_idx in range(1, max_depth + 1):
+                    state = bounce(depth_idx > rr_start, state)
 
-            (_, _, _, _, _, _, _, _, _, col_r, col_g, col_b, _, _,
-             seg_count) = state
-            return (acc_r + col_r, acc_g + col_g, acc_b + col_b, seg_count)
+                (_, _, _, _, _, _, _, _, _, col_r, col_g, col_b, _, _,
+                 seg_count) = state
+                return (acc_r + col_r, acc_g + col_g, acc_b + col_b,
+                        seg_count)
+
+            # All-dead early exit (lax.cond carries fail to legalize, but
+            # pl.when + VMEM scratch carries do): bounce 1 runs in SSA,
+            # its state spills to st_ref, and each later bounce is gated
+            # on any-lane-alive — a ~130 ns vector->scalar sync buys
+            # skipping the full sphere sweep + shading for tiles that went
+            # dark (sky tiles die at bounce 1; RR kills most lanes by 3).
+            # Skipped draws don't bias the estimator (samples stay
+            # independent); with the interpret hash RNG the image is
+            # bit-identical since only zero-contribution work is skipped.
+            state = bounce(1 > rr_start, state)
+            (s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_tr, s_tg, s_tb,
+             s_cr, s_cg, s_cb, s_act, s_ne, s_seg) = state
+            st_ref[0], st_ref[1], st_ref[2] = s_ox, s_oy, s_oz
+            st_ref[3], st_ref[4], st_ref[5] = s_dx, s_dy, s_dz
+            st_ref[6], st_ref[7], st_ref[8] = s_tr, s_tg, s_tb
+            st_ref[9], st_ref[10], st_ref[11] = s_cr, s_cg, s_cb
+            st_ref[12] = s_act.astype(jnp.float32)
+            st_ref[13] = s_ne.astype(jnp.float32)
+            seg_sc[0] = s_seg
+
+            for depth_idx in range(2, max_depth + 1):
+                alive = jnp.any(st_ref[12] > 0.0)
+
+                @pl.when(alive)
+                def _(depth_idx=depth_idx):
+                    st = (st_ref[0], st_ref[1], st_ref[2],
+                          st_ref[3], st_ref[4], st_ref[5],
+                          st_ref[6], st_ref[7], st_ref[8],
+                          st_ref[9], st_ref[10], st_ref[11],
+                          st_ref[12] > 0.0, st_ref[13] > 0.0, seg_sc[0])
+                    (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_tr, n_tg,
+                     n_tb, n_cr, n_cg, n_cb, n_act, n_ne,
+                     n_seg) = bounce(depth_idx > rr_start, st)
+                    st_ref[0], st_ref[1], st_ref[2] = n_ox, n_oy, n_oz
+                    st_ref[3], st_ref[4], st_ref[5] = n_dx, n_dy, n_dz
+                    st_ref[6], st_ref[7], st_ref[8] = n_tr, n_tg, n_tb
+                    st_ref[9], st_ref[10], st_ref[11] = n_cr, n_cg, n_cb
+                    st_ref[12] = n_act.astype(jnp.float32)
+                    st_ref[13] = n_ne.astype(jnp.float32)
+                    seg_sc[0] = n_seg
+
+            return (acc_r + st_ref[9], acc_g + st_ref[10],
+                    acc_b + st_ref[11], seg_sc[0])
 
         def run_tile():
             zeros = jnp.zeros(shape, jnp.float32)
@@ -827,9 +881,16 @@ def render_pallas(
         # per-tile render mask (adaptive sampling): 0 = converged, skip
         inputs.append(jnp.asarray(tile_mask, jnp.int32).reshape(n_tiles))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    scratch_shapes = []
+    if BOUNCE_EARLY_EXIT and max_depth >= 2:
+        # bounce-state spill planes + segment counter for the per-tile
+        # all-dead early exit (act/no_emit ride as 0/1 f32)
+        scratch_shapes = [pltpu.VMEM((14, SUBLANES, LANES), jnp.float32),
+                          pltpu.SMEM((1,), jnp.int32)]
     out, segs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
+        scratch_shapes=scratch_shapes,
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
