@@ -145,18 +145,24 @@ def main() -> None:
     # cluster engine at 10k primitives (the large-scene headline:
     # BASELINE.md "Large-scene scaling")
     from tpu_rt.core.scenes import random_spheres
-    from tpu_rt.ops.pallas_cluster import build_clusters, render_cluster
+    from tpu_rt.ops.pallas_cluster import (build_clusters, order_clusters,
+                                           render_cluster)
 
     big = jax.device_put(random_spheres(10000, seed=1, spread=30.0), dev)
     bcam = jax.device_put(
         tpu_rt.make_camera(position=(0, 6, 40), target=(0, 0, -18),
                            aspect=WIDTH / HEIGHT), dev)
-    # production path: the camera-independent cluster build is cached
-    # across progressive batches (render/frame.py)
-    bpre = jax.block_until_ready(build_clusters(big, n_active=10000))
+    # production path (render/frame.py): the camera-independent cluster
+    # build AND the camera-dependent near-to-far ordering are both cached
+    # across progressive batches — the ordering must happen eagerly here,
+    # NOT inside chained_big, where the miscompile-shield barrier keeps its
+    # full-table gathers live per frame (the r04 7.2x regression).
+    bpre = jax.block_until_ready(order_clusters(
+        build_clusters(big, n_active=10000), bcam.position))
     bimg, bsegs = render_cluster(big, bcam, 0, width=WIDTH, height=HEIGHT,
                                  spp=SPP, max_depth=DEPTH, with_stats=True,
-                                 n_active=10000, prebuilt=bpre)
+                                 n_active=10000, prebuilt=bpre,
+                                 pre_ordered=True)
     _ = float(jnp.sum(bimg))
 
     @jax.jit
@@ -164,7 +170,8 @@ def main() -> None:
         def body(i, acc):
             frame = render_cluster(big, bcam, seed0 + i, width=WIDTH,
                                    height=HEIGHT, spp=SPP, max_depth=DEPTH,
-                                   n_active=10000, prebuilt=bpre)
+                                   n_active=10000, prebuilt=bpre,
+                                   pre_ordered=True)
             return acc + jnp.sum(frame)
         return jax.lax.fori_loop(0, 3, body, jnp.float32(0.0))
 

@@ -26,7 +26,13 @@ import pytest  # noqa: E402
 # jax.devices() call initializes the TPU backend. Re-pin to CPU-only so the
 # suite never touches the chip: a wedged tunnel (observed 2026-08-20: 25 min
 # of zero output before collection, then SIGTERM) cannot hang a CPU suite.
-# Opt back in with TPU_RT_TESTS_ON_TPU=1 for on-chip test runs.
+# TPU_RT_TESTS_ON_TPU=1 un-hides the TPU backend — note the default device
+# STAYS pinned to CPU either way, so only the TPU-gated tests (the ones that
+# look up a "TPU" device and device_put onto it, e.g. test_parity.py's live
+# parity/1/sqrt(N) checks, test_stratify's chip variant) actually run
+# on-chip; everything else keeps its deterministic CPU path. That is the
+# on-chip lane's design: the chip re-proves the headline claims, the CPU
+# carries the breadth.
 if not os.environ.get("TPU_RT_TESTS_ON_TPU"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])

@@ -71,21 +71,26 @@ def test_display_error_isolation_still_ships_frame(monkeypatch):
     from tpu_rt.render import display as D
 
     r = RayTracerInteraction(32, 24)
-    r.settings["show_denoisers"] = True
-    r.settings["selected_denoisers"] = ["gaussian"]
-    r._acc_dev = jnp.zeros((24, 32, 3), jnp.float32) + 0.25
+    try:
+        r.settings["show_denoisers"] = True
+        r.settings["selected_denoisers"] = ["gaussian"]
+        r._acc_dev = jnp.zeros((24, 32, 3), jnp.float32) + 0.25
 
-    real = D.display_stack
+        real = D.display_stack
 
-    def flaky(acc, exposure, *, methods=(), **kw):
-        if methods:
-            raise RuntimeError("backend lowering failed")
-        return real(acc, exposure, methods=methods, **kw)
+        def flaky(acc, exposure, *, methods=(), **kw):
+            if methods:
+                raise RuntimeError("backend lowering failed")
+            return real(acc, exposure, methods=methods, **kw)
 
-    monkeypatch.setattr(D, "display_stack", flaky)
-    r._process_frame_for_display(0.01, batch_start=0.0)
-    f = r.get_frame()
-    assert f is not None and f["mode"] == "raytracing"
-    assert f["display"].shape == (24, 32, 3)
-    assert f["denoised"] == {}  # failing stages dropped, frame shipped
-    assert f["frame_latency"] is not None
+        monkeypatch.setattr(D, "display_stack", flaky)
+        r._process_frame_for_display(0.01, batch_start=0.0)
+        f = r.get_frame()
+        assert f is not None and f["mode"] == "raytracing"
+        assert f["display"].shape == (24, 32, 3)
+        assert f["denoised"] == {}  # failing stages dropped, frame shipped
+        assert f["frame_latency"] is not None
+    finally:
+        # the constructor spawns the tpu_rt-camera worker; the autouse
+        # leak fixture (conftest.py) errors any test that leaves it alive
+        r.stop_rendering()

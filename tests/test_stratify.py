@@ -74,29 +74,52 @@ def test_stratified_deterministic():
 
 def test_stratified_megakernel():
     """The fused kernel's stratified path: runs, deterministic, and the
-    image stays close to its i.i.d. twin (same scene, high spp)."""
+    same estimator as its i.i.d. twin.
+
+    The interpret variant (the default suite's path since the CPU pin)
+    compares K=4-frame MEANS, not a single frame pair: at 24x24/8spp a
+    single post-gamma frame pair has MAD ~0.06-0.07 from pure MC noise
+    at ANY spp pairing (measured 0.0615/0.0727/0.0699 at spp 8/16/32 —
+    the round-4 deterministic failure), while the MAD of K-frame means
+    shrinks as 1/sqrt(K) (measured 0.052 at K=4, 0.045 at K=6 — exactly
+    the sqrt(4/6) ratio, i.e. noise, no bias; image-mean difference
+    ~1e-3). Bounds carry 1.5x headroom over the measured values. On chip
+    the original single-pair 64x64/64spp check is tight enough and stays."""
     from tpu_rt.ops.pallas_megakernel import render_pallas
 
     interpret = not _tpu
     dev = _tpu[0] if _tpu else jax.devices("cpu")[0]
     scene = tpu_rt.demo_scene()
     cam = tpu_rt.make_camera(aspect=1.0)
-    Wm = Hm = 24 if interpret else 64
-    sppm = 8 if interpret else 64
+
+    def rp(seed, strat, W_, H_, spp_):
+        return np.asarray(render_pallas(
+            scene, cam, seed, width=W_, height=H_, spp=spp_, max_depth=2,
+            n_active=12, interpret=interpret, stratify=strat))
+
     with jax.default_device(dev):
-        a = np.asarray(render_pallas(scene, cam, 5, width=Wm, height=Hm,
-                                     spp=sppm, max_depth=2, n_active=12,
-                                     interpret=interpret, stratify=True))
-        b = np.asarray(render_pallas(scene, cam, 5, width=Wm, height=Hm,
-                                     spp=sppm, max_depth=2, n_active=12,
-                                     interpret=interpret, stratify=True))
-        c = np.asarray(render_pallas(scene, cam, 5, width=Wm, height=Hm,
-                                     spp=sppm, max_depth=2, n_active=12,
-                                     interpret=interpret, stratify=False))
-    np.testing.assert_array_equal(a, b)
-    assert a.shape == (Hm, Wm, 3)
-    # same estimator mean: post-gamma images agree to MC noise at this spp
-    assert float(np.abs(a - c).mean()) < 0.06, float(np.abs(a - c).mean())
+        if interpret:
+            Wm = Hm = 24
+            a = rp(5, True, Wm, Hm, 8)
+            b = rp(5, True, Wm, Hm, 8)
+            st = np.mean([rp(100 + s, True, Wm, Hm, 8) for s in range(4)],
+                         axis=0)
+            ii = np.mean([rp(200 + s, False, Wm, Hm, 8) for s in range(4)],
+                         axis=0)
+            np.testing.assert_array_equal(a, b)
+            assert a.shape == (Hm, Wm, 3)
+            assert float(np.abs(st - ii).mean()) < 0.08, (
+                float(np.abs(st - ii).mean()))
+            assert abs(float(st.mean() - ii.mean())) < 0.01
+        else:
+            Wm = Hm = 64
+            a = rp(5, True, Wm, Hm, 64)
+            b = rp(5, True, Wm, Hm, 64)
+            c = rp(5, False, Wm, Hm, 64)
+            np.testing.assert_array_equal(a, b)
+            assert a.shape == (Hm, Wm, 3)
+            assert float(np.abs(a - c).mean()) < 0.06, (
+                float(np.abs(a - c).mean()))
 
 
 def test_stratified_cluster_engine():

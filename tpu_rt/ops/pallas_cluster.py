@@ -495,6 +495,15 @@ def _order_near_to_far(cl: ClusteredScene, cam_pos) -> ClusteredScene:
     per-node (raytracer_core.cpp:212-217), amortized to the frame level.
     Camera distance is exact for primary rays and a good proxy for bounce
     rays (their origins lie on primary hit points).
+
+    PERF: run this EAGERLY, once per (prebuilt, camera) pair, and pass the
+    result to render_cluster(pre_ordered=True). Inside an enclosing jit the
+    optimization_barrier below (a real miscompile shield) stops the folder
+    from amortizing the three-level argsort + full-table gathers, so the
+    ordering would otherwise execute per frame — measured 7.2x on the 10k-
+    sphere chained bench (BENCH_r04.json: 622 -> 86 traced Mrays/s).
+    render/frame.py memoizes the ordered tables next to the cluster-build
+    memo; order_clusters (the public alias) is the entry point.
     """
     # MEASURED MISCOMPILE (TPU v5e / axon, jax 0.9.0, 2026-08-19): the TPU
     # compile path CONSTANT-FOLDS jnp.take_along_axis on >=3D operands
@@ -548,6 +557,11 @@ def _order_near_to_far(cl: ClusteredScene, cam_pos) -> ClusteredScene:
         boxes=boxes_g.reshape(-1, 8),
         attr=attr_g.reshape(-1, *attr_i.shape[1:]),
     )
+
+
+# Public name for the eager once-per-camera ordering pass (see the PERF
+# note in _order_near_to_far; memoized by render/frame.py).
+order_clusters = _order_near_to_far
 
 
 def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
@@ -1538,7 +1552,7 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                      "n_tri_global", "n_tri_active", "rows",
                      "square_blocks", "enable_dof", "reach_scan", "vma",
                      "use_third_level", "cone_scan", "nee", "stratify",
-                     "n_lights_max"),
+                     "n_lights_max", "pre_ordered"),
 )
 def render_cluster(
     scene: SphereScene,
@@ -1574,6 +1588,7 @@ def render_cluster(
     stratify: bool = False,
     n_lights_max: int = 8,
     tile_mask: jnp.ndarray | None = None,
+    pre_ordered: bool = False,
 ):
     """Large-scene fused render; returns (height, width, 3) f32 in [0, 1].
 
@@ -1599,12 +1614,18 @@ def render_cluster(
     # The cluster build is camera-independent; callers rendering the same
     # scene repeatedly (progressive accumulation) pass ``prebuilt`` to skip
     # it — measured 35 ms/frame at 10k spheres, ~1/3 of the frame. The
-    # near-to-far ordering depends on the camera and is cheap (a permute
-    # of S supers), so it stays per-frame.
+    # camera-dependent near-to-far ordering is hoisted the same way:
+    # ``pre_ordered=True`` promises the prebuilt tables (sphere AND
+    # triangle) were already passed through order_clusters for THIS camera
+    # position — under an enclosing jit the in-graph ordering re-executes
+    # its full-table gathers every frame (see _order_near_to_far's PERF
+    # note), so production callers (render/frame.py, bench.py) order
+    # eagerly once per camera and cache.
     clustered = prebuilt if prebuilt is not None else build_clusters(
         scene, cluster_size=cluster_size, n_global=n_global,
         n_active=n_active)
-    clustered = _order_near_to_far(clustered, cam.position)
+    if not (pre_ordered and prebuilt is not None):
+        clustered = _order_near_to_far(clustered, cam.position)
     S = clustered.n_supers
     G = clustered.n_global
     C = clustered.cluster_size
@@ -1627,7 +1648,8 @@ def render_cluster(
             build_tri_clusters(mesh, cluster_size=cluster_size,
                                n_global=n_tri_global,
                                n_active=n_tri_active))
-        tri = _order_near_to_far(tri, cam.position)
+        if not (pre_ordered and tri_prebuilt is not None):
+            tri = _order_near_to_far(tri, cam.position)
         ST = tri.n_supers
         GT = tri.n_global
         tri_third = ((ST > 64) if use_third_level is None

@@ -57,10 +57,23 @@ SUBLANES = 32
 LANES = 128
 TILE = SUBLANES * LANES  # rays per program
 
-# Per-tile all-dead bounce early exit (kill switch for A/B measurement):
-# bounces 2..D are gated on any-lane-alive via pl.when + VMEM scratch
-# state. Sky tiles stop paying for the sphere sweep after bounce 1.
-BOUNCE_EARLY_EXIT = True
+# Per-tile all-dead bounce early exit: bounces 2..D are gated on
+# any-lane-alive via pl.when + VMEM scratch state, so tiles that went
+# fully dark stop paying for the sphere sweep. Measured on chip
+# (tools/ab_bounce_early_exit.py, 1080p/4spp/d4, chained x20, 2026-08-20):
+#   demo scene: 7.29 ms on / 6.20 ms off  (+17.6% — the 14-plane VMEM
+#               spill+reload per bounce costs more than the skips save
+#               when most tiles keep at least one live lane)
+#   mostly-sky: 3.70 ms on / 6.14 ms off  (-40% — most tiles die at
+#               bounce 1)
+# Default OFF: the headline/interactive workloads look like the demo
+# scene. Sky-heavy callers opt in per render via
+# render_pallas(bounce_early_exit=True). Correctness is flag-independent
+# (skipped bounces feed only all-dead lanes): bit-identical in interpret
+# mode for any spp, and compiled at spp=1 (tests/test_early_exit.py);
+# at spp>1 compiled streams shift (the shared per-tile PRNG advances by
+# fewer draws) — a different, equally unbiased sample set.
+BOUNCE_EARLY_EXIT = False
 
 _INV_U32 = 2.3283064365386963e-10  # 1 / 2^32 (PCG32::random_float scale)
 TWO_PI = 6.2831853071795864
@@ -130,7 +143,7 @@ def _dot3(ax, ay, az, bx, by, bz):
 def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                  jitter=True, enable_refraction=False, gamma=True,
                  rr_start=3, hash_rng=False, enable_dof=False, nee=False,
-                 stratify=False, adaptive=False):
+                 stratify=False, adaptive=False, bounce_early_exit=None):
     """Build the kernel body for static (w, h, spp, depth, N).
 
     ``hash_rng=True`` swaps the hardware PRNG for the counter-hash RNG
@@ -141,7 +154,9 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
     on the following bounce (the same estimator as
     ops/integrator.py trace(nee=True), stream-different)."""
 
-    early_exit = BOUNCE_EARLY_EXIT and max_depth >= 2
+    if bounce_early_exit is None:
+        bounce_early_exit = BOUNCE_EARLY_EXIT
+    early_exit = bounce_early_exit and max_depth >= 2
 
     def kernel(cam_ref, attr_ref, tri_geo_ref, tri_mat_ref, bg_ref,
                seed_ref, *rest):
@@ -781,7 +796,7 @@ def _pack_camera(cam: CameraP) -> jnp.ndarray:
     static_argnames=("width", "height", "spp", "max_depth", "jitter",
                      "enable_refraction", "gamma", "with_stats", "interpret",
                      "n_active", "rows", "n_tri_active", "enable_dof", "vma",
-                     "nee", "stratify"),
+                     "nee", "stratify", "bounce_early_exit"),
 )
 def render_pallas(
     scene: SphereScene,
@@ -806,6 +821,7 @@ def render_pallas(
     nee: bool = False,
     stratify: bool = False,
     tile_mask: jnp.ndarray | None = None,
+    bounce_early_exit: bool | None = None,
 ):
     """Fused single-chip render; returns (height, width, 3) f32 in [0, 1].
 
@@ -863,11 +879,14 @@ def render_pallas(
                           pix_offset]).reshape(2)
 
     adaptive = tile_mask is not None
+    if bounce_early_exit is None:
+        bounce_early_exit = BOUNCE_EARLY_EXIT
     kernel = _make_kernel(width, height, spp, max_depth, n_spheres,
                           n_tris=n_tris, jitter=jitter,
                           enable_refraction=enable_refraction, gamma=gamma,
                           hash_rng=interpret, enable_dof=enable_dof, nee=nee,
-                          stratify=stratify, adaptive=adaptive)
+                          stratify=stratify, adaptive=adaptive,
+                          bounce_early_exit=bounce_early_exit)
     inputs = [cam_packed, attr, tri_geo, tri_mat, bg, seed_arr]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # camera scalars
@@ -882,7 +901,7 @@ def render_pallas(
         inputs.append(jnp.asarray(tile_mask, jnp.int32).reshape(n_tiles))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     scratch_shapes = []
-    if BOUNCE_EARLY_EXIT and max_depth >= 2:
+    if bounce_early_exit and max_depth >= 2:
         # bounce-state spill planes + segment counter for the per-tile
         # all-dead early exit (act/no_emit ride as 0/1 f32)
         scratch_shapes = [pltpu.VMEM((14, SUBLANES, LANES), jnp.float32),

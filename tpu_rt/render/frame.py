@@ -132,6 +132,41 @@ def _cached_clusters(builder, obj, anchor, key):
     return cl
 
 
+# Ordered-prebuilt memo: the camera-dependent near-to-far permutation
+# (pallas_cluster.order_clusters) must run EAGERLY, once per (prebuilt,
+# camera-position) pair — in-graph it re-executes three argsorts plus
+# full-table gathers every frame behind the miscompile-shield barrier
+# (BENCH_r04: 7.2x on the 10k-sphere chained bench). Keyed first by array
+# IDENTITY (prebuilt table + position array — zero device pulls when the
+# interactive loop reuses its CameraP), falling back to the position's
+# 12-byte value (one tiny D2H per new position array).
+_ORDERED_CACHE: list = []
+_ORDERED_CACHE_CAP = 8
+
+
+def _cached_ordered(prebuilt, cam_pos):
+    import weakref
+
+    from ..ops.pallas_cluster import order_clusters
+
+    anchor = prebuilt.attr
+    for pre_ref, pos_ref, pos_bytes, ordered in _ORDERED_CACHE:
+        if pre_ref() is anchor and pos_ref() is cam_pos:
+            return ordered
+    key = np.asarray(cam_pos).tobytes()
+    for pre_ref, pos_ref, pos_bytes, ordered in _ORDERED_CACHE:
+        if pre_ref() is anchor and pos_bytes == key:
+            return ordered
+    ordered = order_clusters(prebuilt, cam_pos)
+    try:
+        _ORDERED_CACHE.append(
+            (weakref.ref(anchor), weakref.ref(cam_pos), key, ordered))
+        del _ORDERED_CACHE[:-_ORDERED_CACHE_CAP]
+    except TypeError:
+        pass  # position not weakref-able: skip caching
+    return ordered
+
+
 def quantize_count(n: int, capacity: int) -> int:
     """Quantize an active-primitive count to the static kernel bucket.
 
@@ -278,6 +313,15 @@ def render(
                 mesh, mesh.v0,
                 ("tri", mesh.capacity, n_tri_active,
                  prebuilt.attr.shape))
+        # Hoist the camera-dependent near-to-far ordering out of the frame
+        # (see _cached_ordered). Under an enclosing jit the camera position
+        # is a tracer — fall back to in-graph ordering there (correct, but
+        # per-frame; production interactive/bench callers are eager).
+        pre_ordered = not isinstance(cam.position, jax.core.Tracer)
+        if pre_ordered:
+            prebuilt = _cached_ordered(prebuilt, cam.position)
+            if tri_prebuilt is not None:
+                tri_prebuilt = _cached_ordered(tri_prebuilt, cam.position)
         return render_cluster(
             scene, cam, seed, width=width, height=height, spp=spp,
             max_depth=max_depth, jitter=jitter,
@@ -286,6 +330,7 @@ def render(
             mesh=mesh, n_tri_active=n_tri_active, enable_dof=enable_dof,
             prebuilt=prebuilt, tri_prebuilt=tri_prebuilt,
             nee=nee, stratify=stratify, tile_mask=tile_mask,
+            pre_ordered=pre_ordered,
         )
     if resolved == "pallas":
         from ..ops.pallas_megakernel import render_pallas

@@ -128,9 +128,13 @@ def megakernel_op_model(width: int, height: int, spp: int, depth: int,
                         n_spheres: int) -> float:
     """Total vector element-ops per frame for the masked-dense megakernel.
 
-    Counted over ALL w*h*spp*depth lane-bounces — the kernel does not
-    early-out per lane (dead lanes are masked, their slots still issue),
-    so the dense product is the real issue count, not an upper bound.
+    Counted over ALL w*h*spp*depth lane-bounces. With the default
+    BOUNCE_EARLY_EXIT=False kernel, no lane ever early-outs (dead lanes
+    are masked, their slots still issue), so the dense product is the real
+    issue count, not an upper bound. When a caller opts into
+    bounce_early_exit=True, all-dead tiles skip bounces 2..D and the dense
+    count becomes an UPPER bound (roofline_report's payload says which
+    model applies — ADVICE r4 item 3).
     """
     lane_bounces = float(width) * height * spp * depth
     per = OPS_PER_SPHERE_TEST * n_spheres + OPS_SHADING_PER_BOUNCE
@@ -145,6 +149,8 @@ def roofline_report(frame_s: float, width: int, height: int, spp: int,
     overhead is already amortized — then ops/s divided by peak is
     genuinely chip-issue utilization.
     """
+    from ..ops.pallas_megakernel import BOUNCE_EARLY_EXIT
+
     fma = measure_vpu_fma_ops()
     model_ops = megakernel_op_model(width, height, spp, depth, n_spheres)
     achieved = model_ops / frame_s
@@ -165,5 +171,11 @@ def roofline_report(frame_s: float, width: int, height: int, spp: int,
         "note": ("static masked-dense op model (~10-15%); FMA slope is a "
                  "single-port lower bracket — the mixed-op kernel "
                  "legitimately exceeds it; theoretical = 1024 lanes x 4 "
-                 "ALUs x 1.5 GHz (clock from published v5e MXU spec)"),
+                 "ALUs x 1.5 GHz (clock from published v5e MXU spec)"
+                 + ("; BOUNCE_EARLY_EXIT=True is set: all-dead tiles skip "
+                    "bounces, so the dense op count is an UPPER bound and "
+                    "utilization is overstated"
+                    if BOUNCE_EARLY_EXIT else
+                    "; exact for the default masked-dense kernel "
+                    "(BOUNCE_EARLY_EXIT=False)")),
     }
