@@ -227,3 +227,35 @@ def test_set_scene_caches_quantized_active_count():
     n = len(scene.spheres)
     expect = min(rt._scene_arrays.capacity, -4 * (-n // 4))
     assert rt._n_active == expect
+
+
+def test_nee_keeps_resolved_engine(monkeypatch):
+    """Round-5 regression: render_device must NOT downgrade nee=True off
+    the cluster engine (NEE is fused into all three engines since round
+    4; a leftover app-layer fallback reintroduced the ~40x lax cliff for
+    every interactive NEE batch past 64 spheres)."""
+    from tpu_rt.render import frame as fr
+
+    rt = RayTracer(seed=3)
+    rt.set_nee(True)
+    scene = Scene()
+    for i in range(70):  # past the 64-sphere megakernel bucket
+        s = Sphere()
+        s.center = Vector3((i % 10) - 5.0, 0.5, -3.0 - i // 10)
+        s.radius = 0.4
+        s.object_id = i
+        scene.add_sphere(s)
+    rt.set_scene(scene)
+
+    monkeypatch.setattr(fr, "_on_tpu", lambda s: True)
+    seen = {}
+
+    def fake_render(*a, **kw):
+        seen.update(kw)
+        return np.zeros((8, 8, 3), np.float32)
+
+    monkeypatch.setattr(fr, "render", fake_render)
+    rt.render_device(8, 8, 1, 2)
+    assert rt._last_engine == "cluster"
+    assert seen.get("engine") == "cluster"
+    assert seen.get("nee") is True

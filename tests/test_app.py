@@ -377,8 +377,10 @@ def test_headless_cli_with_obj_and_dof(tmp_path):
 
 def test_nee_setting_flows_to_renderer(rti):
     """The beyond-reference `nee` knob (utils/config.py) must reach the
-    estimator: the worker syncs it per batch and NEE forces the lax
-    engine (ops/integrator.py nee=True)."""
+    estimator: the worker syncs it per batch. On the CPU test backend the
+    engine resolves to lax naturally (NEE no longer forces a downgrade —
+    it is fused into all three engines; on TPU the batch would stay on
+    its resolved Pallas engine)."""
     rti.settings["nee"] = True
     rti.start_rendering()
     frames = drain(rti, timeout=120.0)

@@ -64,6 +64,9 @@ def capture(monkeypatch):
 
     monkeypatch.setattr(fr, "_cached_clusters",
                         lambda builder, obj, anchor, key: _FakePrebuilt())
+    # ... and the round-5 eager near-to-far ordering memo, which would
+    # otherwise push the fake prebuilt through order_clusters
+    monkeypatch.setattr(fr, "_cached_ordered", lambda prebuilt, pos: prebuilt)
     return calls
 
 

@@ -489,12 +489,11 @@ class RayTracer:
         # Resolve the engine ONCE and force it through render(), so the
         # observability fields can never diverge from the engine actually
         # used (select_engine is deterministic in these arguments). NEE is
-        # fused into the megakernel; only the cluster engine lacks it.
+        # fused into all three engines (round 4 closed the feature matrix),
+        # so no flag combination downgrades the engine.
         engine = _F.select_engine(
             self._scene_arrays, self._mode, self._enable_refraction,
             not self._linear, self._mesh, "auto")
-        if self._nee and engine == "cluster":
-            engine = "lax"
         self._last_engine = engine
         self._last_use_bvh = use_bvh and engine == "lax"
         self._last_adaptive = tile_mask is not None and engine == "pallas"

@@ -274,10 +274,22 @@ def trace(
 
         # Under NEE, lanes whose previous scatter was diffuse already
         # accounted for SPHERE-light direct light via their shadow ray —
-        # BSDF-path sphere emission would double count it. Triangle
-        # emission is NOT in the light cdf, so it must still be added
-        # (suppressing it loses that light entirely — tests/test_nee.py).
-        emit_ok = act & ~(no_emit & ~is_tri_hit) if nee else act
+        # BSDF-path sphere emission would double count it. Two exemptions:
+        # triangle emission is NOT in the light cdf, so it must still be
+        # added (suppressing it loses that light entirely —
+        # tests/test_nee.py); and a sphere hit FROM INSIDE (the shading
+        # point sat inside that emissive sphere, e.g. a dome/sky light) is
+        # unreachable by any shadow ray — its far-root exit hit, detected
+        # by the outward normal pointing along the ray, keeps its BSDF
+        # emission on EVERY draw, which is the exact estimator of an
+        # enclosing light and independent of which light NEE happened to
+        # sample (tests/test_multilight.py quantifies the old gate's
+        # pick-probability bias).
+        if nee:
+            exit_hit = vm.dot(d, h.normal) > 0.0
+            emit_ok = act & ~(no_emit & ~is_tri_hit & ~exit_hit)
+        else:
+            emit_ok = act
         col = col + jnp.where(emit_ok[:, None], thr * h.emission, 0.0)
 
         # Russian roulette (before scatter, after emission).
@@ -344,17 +356,16 @@ def trace(
                        * (ndl * weight * (n_lights / jnp.pi))[:, None] * le)
             col = col + jnp.where(gate[:, None], contrib, 0.0)
             segs = segs + jnp.sum(diffuse_lane.astype(jnp.int32))
-            # When the SAMPLED light contains the hit point (inside), the
-            # shadow ray contributed nothing — the next-bounce BSDF
-            # emission is then the only estimator of that light (e.g. a
-            # dome/sky sphere lighting points inside its radius) and must
-            # not be suppressed. Residual limitation: with n > 1 lights an
-            # inside point's dome emission is only recovered on the draws
-            # that sampled the containing light (1/n of them), so it is
-            # under-counted by the pick probability; exact handling needs
-            # a per-lane "inside ANY light" sweep, not worth its cost for
-            # this corner (ADVICE r3).
-            no_emit = diffuse_lane & ~inside
+            # Suppression is unconditional for diffuse lanes: the
+            # enclosing-light corner (shading point inside an emissive
+            # sphere, where the shadow ray contributes nothing) is handled
+            # at emission time by the exit-hit exemption above, which
+            # fires on every draw instead of only the 1/n_lights draws
+            # that happened to sample the containing light — the old
+            # `& ~inside` gate under-counted an enclosing dome by the
+            # pick probability and over-counted interior lights via the
+            # unsuppressed draws (round-4 residual, VERDICT r4 item 7).
+            no_emit = diffuse_lane
 
         thr = thr * albedo
         o = jnp.where(act[:, None], hp, o)

@@ -815,9 +815,13 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                 fetches attribute scalars at STATIC offsets (globals: SMEM
                 input; clusters: the DMA'd SMEM scratch block).
                 ``fast=True`` skips the far root (origin-inside-sphere
-                case) — valid for cluster primitives when refraction is
-                off: scatter rays always leave the surface outward, so only
-                the near root can win."""
+                case). CAVEAT: only sound when no ray origin can sit
+                inside a clustered sphere — untrue with refraction AND
+                with enclosing emitters (a dome/sky light contains every
+                shading point and is only ever hit via its far root, so
+                fast=True would delete the dome). Off by default; the
+                measured -19% sweep win is not worth a soundness flag
+                keyed on scene content."""
                 (best_t, b_cx, b_cy, b_cz, b_ir, b_p0, b_p1, b_p2, b_p3,
                  b_p4) = best[:10]
                 extra = list(best[10:])  # optional is_tri plane (NEE+mesh)
@@ -831,19 +835,21 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                     ocz = oz_b - scz
                     half_b = ocx * dx_b + ocy * dy_b + ocz * dz_b
                     cq = (ocx * ocx + ocy * ocy + ocz * ocz) - rad * rad
-                    disc = half_b * half_b - cq  # a == 1 (normalized d)
-                    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    # NaN-propagating root selection (round 5, shared with
+                    # the megakernel): sqrt of a negative discriminant is
+                    # NaN and every later compare on it is False, so the
+                    # disc >= 0 guard, the max() clamp, and the redundant
+                    # upper-bound checks fold away — ~9 fewer VPU ops per
+                    # sphere, outcome-identical selection.
+                    sqrtd = jnp.sqrt(half_b * half_b - cq)  # a == 1
                     root0 = -half_b - sqrtd
-                    in0 = (root0 >= 1e-3) & (root0 <= best_t)
                     if fast and not enable_refraction:
                         root = root0
-                        ok = (disc >= 0.0) & in0 & (inv_rad > 0.0)
                     else:
-                        root1 = -half_b + sqrtd
-                        in1 = (root1 >= 1e-3) & (root1 <= best_t)
-                        root = jnp.where(in0, root0, root1)
-                        ok = (disc >= 0.0) & (in0 | in1) & (inv_rad > 0.0)
-                    better = ok & (root < best_t)
+                        root = jnp.where(root0 >= 1e-3, root0,
+                                         sqrtd - half_b)
+                    better = ((root >= 1e-3) & (root < best_t)
+                              & (inv_rad > 0.0))
                     best_t = jnp.where(better, root, best_t)
                     b_cx = jnp.where(better, scx, b_cx)
                     b_cy = jnp.where(better, scy, b_cy)
@@ -1046,8 +1052,6 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
 
                     def test(ref, i):
                         return _cone_box_ok(ref, i, t_cap)
-
-                    unroll = 4
                 elif use_reach:
                     # masked bounds of the ACTIVE rays' origins (scatter
                     # origins = previous bounce's hit points)
@@ -1065,8 +1069,6 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
 
                     def test(ref, i):
                         return _reach_box_ok(ref, i, r_tcap, r_olo, r_ohi)
-
-                    unroll = 4
                 else:
                     def test(ref, i):
                         # the flag guards the corner-order-blind vector slab
@@ -1074,41 +1076,66 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                         # would otherwise report as crossed by every ray
                         return jnp.any(slab(ref, i)) & (ref[i * 8 + 6] > 0)
 
-                    unroll = 1
+                # Sync batching: with the vector slab test, every
+                # ``pl.when(test(...))`` is a vector->scalar round trip
+                # (~130 ns measured) — the dominant phase-A cost once
+                # bounce rays scatter and most boxes need testing. Pack a
+                # GROUP of boxes' any-lane-crossed bits into one int32
+                # word (bit k = box k), park it in the SMEM mailbox
+                # (count_ref[2]) — ONE sync per group — and unpack with
+                # scalar shifts. For the scalar cone/reach tests the word
+                # arithmetic is already scalar and the mailbox is free.
+                def _pack_test_word(test_k, n_k):
+                    word = jnp.int32(0)
+                    for k in range(n_k):
+                        ok = test_k(k)
+                        word = word + jnp.where(ok, jnp.int32(1 << k),
+                                                jnp.int32(0))
+                    count_ref[2] = word
+                    return count_ref[2]
 
                 def _compact(box_ref, n_boxes, out_ref, slot):
-                    def body(q, _):
-                        for k in range(unroll):
-                            ss = q * unroll + k
-                            if unroll > 1:
-                                ssc = jnp.minimum(ss, n_boxes - 1)
-                                ok = test(box_ref, ssc) & (ss < n_boxes)
-                            else:
-                                ok = test(box_ref, ss)
+                    group = 8
 
-                            @pl.when(ok)
-                            def _():
+                    def body(q, _):
+                        def test_k(k):
+                            ss = q * group + k
+                            ssc = jnp.minimum(ss, n_boxes - 1)
+                            return test(box_ref, ssc) & (ss < n_boxes)
+
+                        w = _pack_test_word(test_k, group)
+
+                        for k in range(group):
+                            bit = jax.lax.shift_right_logical(
+                                w, k) & jnp.int32(1)
+
+                            @pl.when(bit != 0)
+                            def _(k=k):
                                 idx = count_ref[slot]
-                                out_ref[idx] = ss
+                                out_ref[idx] = q * group + k
                                 count_ref[slot] = idx + 1
 
                         return 0
 
-                    jax.lax.fori_loop(0, -(-n_boxes // unroll), body, 0)
+                    jax.lax.fori_loop(0, -(-n_boxes // group), body, 0)
 
                 def _expand_into_slist(upper_ref):
                     """Test crossed parents' FANOUT children of
-                    ``upper_ref`` into slist_ref."""
+                    ``upper_ref`` into slist_ref (one sync per parent)."""
                     def expand(i, _):
                         parent = slist2_ref[i]
-                        # static 8-child unroll amortizes the fori overhead
-                        for k in range(FANOUT):
-                            c_idx = parent * FANOUT + k
+                        w = _pack_test_word(
+                            lambda k: test(upper_ref, parent * FANOUT + k),
+                            FANOUT)
 
-                            @pl.when(test(upper_ref, c_idx))
-                            def _():
+                        for k in range(FANOUT):
+                            bit = jax.lax.shift_right_logical(
+                                w, k) & jnp.int32(1)
+
+                            @pl.when(bit != 0)
+                            def _(k=k):
                                 idx = count_ref[0]
-                                slist_ref[idx] = c_idx
+                                slist_ref[idx] = parent * FANOUT + k
                                 count_ref[0] = idx + 1
 
                         return 0
@@ -1116,6 +1143,12 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                     jax.lax.fori_loop(0, count_ref[1], expand, 0)
 
                 count_ref[0] = 0
+                # (A 3-level test-before-DMA variant — ss -> supers ->
+                # compacted crossed children — was built and measured
+                # slower at every scale: 10k 169 vs 117 ms, 100k 895 vs
+                # 461. Pre-testing children buys nothing because the
+                # prefetched DMA already overlaps the previous visit's
+                # sweep; the extra vector slab tests are pure cost.)
                 if direct:
                     count_ref[1] = 0
                     _compact(sb_ref, n_s_g, slist2_ref, 1)
@@ -1272,8 +1305,19 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                     # post-diffuse suppression applies to SPHERE emission
                     # only: triangles are not in the NEE light cdf, so
                     # their BSDF-path emission is the sole estimator of
-                    # that light (same split as ops/integrator.py)
-                    suppress = (no_emit & ~b_is_tri) if NB == 11 else no_emit
+                    # that light (same split as ops/integrator.py). A
+                    # sphere hit FROM INSIDE (|o-c|^2 * (1/r)^2 < 1 on the
+                    # best-hit planes) is exempt: an enclosing dome light
+                    # is unreachable by any shadow ray, so its BSDF
+                    # emission survives on every draw (exact multi-light
+                    # gate — ops/integrator.py, tests/test_multilight.py).
+                    eocx = ox - b_cx
+                    eocy = oy - b_cy
+                    eocz = oz - b_cz
+                    eoc2 = eocx * eocx + eocy * eocy + eocz * eocz
+                    inside_hit = eoc2 * (b_ir * b_ir) < 1.0
+                    keep = no_emit & ~inside_hit
+                    suppress = (keep & ~b_is_tri) if NB == 11 else keep
                     emitf = (act & ~suppress).astype(jnp.float32)
                 else:
                     emitf = act.astype(jnp.float32)
@@ -1468,13 +1512,12 @@ def _make_kernel(width, height, n_spp, max_depth, n_global, n_supers,
                     cb = cb + tb * b_ab * scale * l_eb
                     seg_count = seg_count + jnp.sum(
                         diffuse_lane.astype(jnp.int32))
-                    # ADVICE r3: when the sampled light CONTAINS the hit
-                    # point, NEE contributed nothing — the next-bounce BSDF
-                    # emission is then the only estimator of that light and
-                    # must not be suppressed. (Residual limitation, shared
-                    # by all three engines: with multiple lights an inside
-                    # point still under-counts by the pick probability.)
-                    no_emit = diffuse_lane & ~inside
+                    # Unconditional suppression: the enclosing-light corner
+                    # is handled by the inside-hit exemption at emission
+                    # time, which fires on every draw instead of only the
+                    # 1/n_lights that sampled the containing light (exact
+                    # multi-light gate; ops/integrator.py).
+                    no_emit = diffuse_lane
 
                 tr = tr * b_ar
                 tg = tg * b_ag
@@ -1630,16 +1673,25 @@ def render_cluster(
     G = clustered.n_global
     C = clustered.cluster_size
 
-    # Third hierarchy level: scanning S2 super-supers + expanding crossed
-    # ones only pays off once the flat super scan is the bottleneck;
-    # below ~64 supers (4k primitives at C=64) the flat scan is cheaper.
-    # ``use_third_level`` overrides the size heuristic (benchmarks/debug).
-    third = (S > 64) if use_third_level is None else use_third_level
+    # Third hierarchy level: DEFAULT ON at every scale. Re-measured with
+    # honest (non-constant-folded) tables, 1080p/4spp/d4 on the v5e,
+    # 2026-08-20: third-level beats the direct test-before-DMA path at
+    # 1024 spheres (53.5 vs 59.1 ms), 4096 (82.4 vs 110.6), and 10k
+    # (115.0 vs 174.3) — the old S > 64 threshold and the direct path's
+    # "wins below ~32k" note were tuned against the r03 harness whose
+    # closure-captured tables the TPU constant folder had zeroed (fast
+    # because rays hit nothing — see BASELINE.md "round-5 correction").
+    # ``use_third_level=False`` keeps the two-level/direct paths reachable
+    # for benchmarks and regression comparison.
+    third = True if use_third_level is None else use_third_level
     S2 = clustered.n_ss if third else 0
-    # Small scenes (child-box table fits SMEM): phase A compacts crossed
-    # CHILDREN too and phase B DMAs only those (test-before-DMA) — the big
-    # path's DMA-every-child-of-a-crossed-super costs more than the sweeps
-    # it guards below ~32k primitives (see _make_kernel).
+    # Direct (test-before-DMA) paths: phase A compacts crossed CHILDREN
+    # and phase B DMAs + sweeps exactly those. Measured SLOWER than
+    # DMA-then-test at every scale on honest tables (3-level direct at
+    # 10k: 169 vs 117 ms; at 100k: 895 vs 461 — the per-child vector slab
+    # tests cost more than the skipped prefetched DMAs save, since a
+    # prefetched DMA that overlaps the previous sweep is nearly free).
+    # Kept reachable via use_third_level=False for regression comparison.
     K = clustered.n_clusters
     direct_sph = (not third) and K <= 512
 
@@ -1652,7 +1704,7 @@ def render_cluster(
             tri = _order_near_to_far(tri, cam.position)
         ST = tri.n_supers
         GT = tri.n_global
-        tri_third = ((ST > 64) if use_third_level is None
+        tri_third = (True if use_third_level is None
                      else use_third_level)
         ST2 = tri.n_ss if tri_third else 0
         KT = tri.n_clusters
@@ -1787,7 +1839,8 @@ def render_cluster(
             # slist2: crossed supers (direct) or super-supers (third level)
             pltpu.SMEM((max(S2, ST2, S if direct_sph else 1,
                             ST if direct_tri else 1, 1),), jnp.int32),
-            pltpu.SMEM((2,), jnp.int32),
+            # [0]=slist count, [1]=slist2 count, [2]=packed-test mailbox
+            pltpu.SMEM((3,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

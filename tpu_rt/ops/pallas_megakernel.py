@@ -314,15 +314,18 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                     ocz = oz - scz
                     half_b = ocx * dx + ocy * dy + ocz * dz
                     cq = (ocx * ocx + ocy * ocy + ocz * ocz) - rad * rad
-                    disc = half_b * half_b - cq  # a == 1 (d normalized)
-                    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    # NaN-propagating root selection (round 5): sqrt of a
+                    # negative discriminant is NaN, every later compare on
+                    # it is False, so the explicit disc >= 0 guard, the
+                    # max() clamp, and the double upper-bound checks all
+                    # fold away — ~9 fewer VPU ops per sphere with
+                    # outcome-identical selection (root <= best_t in the
+                    # old in0/in1 was redundant with better's strict <).
+                    sqrtd = jnp.sqrt(half_b * half_b - cq)  # a == 1
                     root0 = -half_b - sqrtd
-                    root1 = -half_b + sqrtd
-                    in0 = (root0 >= 1e-3) & (root0 <= best_t)
-                    in1 = (root1 >= 1e-3) & (root1 <= best_t)
-                    root = jnp.where(in0, root0, root1)
-                    ok = (disc >= 0.0) & (in0 | in1) & (inv_rad > 0.0)
-                    better = ok & (root < best_t)
+                    root = jnp.where(root0 >= 1e-3, root0, sqrtd - half_b)
+                    better = ((root >= 1e-3) & (root < best_t)
+                              & (inv_rad > 0.0))
                     best_t = jnp.where(better, root, best_t)
                     b_cx = jnp.where(better, scx, b_cx)
                     b_cy = jnp.where(better, scy, b_cy)
@@ -401,8 +404,21 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                     # post-diffuse suppression applies to SPHERE emission
                     # only: triangles are not in the NEE light cdf, so
                     # their BSDF-path emission is the sole estimator of
-                    # that light (same split as ops/integrator.py).
-                    suppress = (no_emit & ~b_is_tri) if n_tris else no_emit
+                    # that light (same split as ops/integrator.py). A
+                    # sphere hit FROM INSIDE (ray origin inside the
+                    # winner: |o-c|^2 * (1/r)^2 < 1 on the carried
+                    # best-hit planes) is exempt too — an enclosing
+                    # dome/sky light is unreachable by any shadow ray, so
+                    # its BSDF emission must survive on every draw
+                    # (tests/test_multilight.py; same exemption as
+                    # ops/integrator.py's exit-hit test).
+                    eocx = ox - b_cx
+                    eocy = oy - b_cy
+                    eocz = oz - b_cz
+                    eoc2 = eocx * eocx + eocy * eocy + eocz * eocz
+                    inside_hit = eoc2 * (b_ir * b_ir) < 1.0
+                    keep = no_emit & ~inside_hit
+                    suppress = (keep & ~b_is_tri) if n_tris else keep
                     emitf = (act & ~suppress).astype(jnp.float32)
                 else:
                     emitf = act.astype(jnp.float32)
@@ -603,13 +619,13 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                         srad = attr_ref[n, 3]
                         scq = (socx * socx + socy * socy + socz * socz
                                - srad * srad)
-                        sdisc = shb * shb - scq
-                        ssq = jnp.sqrt(jnp.maximum(sdisc, 0.0))
+                        # NaN-propagating root selection (see the primary
+                        # sweep): a miss yields NaN roots and every compare
+                        # is False
+                        ssq = jnp.sqrt(shb * shb - scq)
                         sr0 = -shb - ssq
-                        sr1 = -shb + ssq
-                        sin0 = (sr0 >= 1e-3) & (sr0 < t_edge)
-                        sin1 = (sr1 >= 1e-3) & (sr1 < t_edge)
-                        occ = occ | ((sdisc >= 0.0) & (sin0 | sin1)
+                        sr = jnp.where(sr0 >= 1e-3, sr0, ssq - shb)
+                        occ = occ | ((sr >= 1e-3) & (sr < t_edge)
                                      & (attr_ref[n, 14] > 0.0))
                     for k in range(n_tris):
                         v0x, v0y, v0z = (tri_geo_ref[k, 0],
@@ -651,11 +667,12 @@ def _make_kernel(width, height, spp, max_depth, n_spheres, n_tris=0,
                     cb = cb + tb * b_ab * scale * l_eb
                     seg_count = seg_count + jnp.sum(
                         diffuse_lane.astype(jnp.int32))
-                    # inside the sampled light, NEE contributed nothing:
-                    # keep next-bounce BSDF emission (ADVICE r3; same
-                    # semantics and residual multi-light limitation as
-                    # ops/integrator.py)
-                    no_emit = diffuse_lane & ~inside
+                    # Unconditional suppression: the enclosing-light
+                    # corner is handled by the inside-hit exemption at
+                    # emission time, which fires on every draw instead of
+                    # only the 1/n_lights that sampled the containing
+                    # light (exact multi-light gate; ops/integrator.py).
+                    no_emit = diffuse_lane
 
                 tr = tr * b_ar
                 tg = tg * b_ag

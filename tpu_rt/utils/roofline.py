@@ -27,8 +27,8 @@ Three ingredients:
    the kernel is a full static unroll (pallas_megakernel.py:648) and
    masked-dense — every lane executes every sphere test and every bounce
    regardless of liveness — so the op count is exact arithmetic, not a
-   trace: per lane per bounce, each sphere test costs ~47 vector ops
-   (quadratic setup 18, discriminant + sqrt-select 16, 13-plane best-hit
+   trace: per lane per bounce, each sphere test costs ~40 vector ops
+   (quadratic setup 14, NaN-propagating sqrt-select 8, 14-plane best-hit
    where-chain) and shading costs ~140 (3 PRNG draws + unit-ball scatter
    ~60, two normalizations 24, reflect/refract/schlick + RR + emission
    bookkeeping ~56). Tallied from pallas_megakernel.py:262-648; good to
@@ -55,7 +55,11 @@ import jax
 import jax.numpy as jnp
 
 # Static per-lane-per-bounce issue-slot model (see module docstring).
-OPS_PER_SPHERE_TEST = 47
+# Round 5 dropped this from 47: the NaN-propagating root selection removed
+# the disc >= 0 guard, the max() clamp, the second root's bounds pair and
+# the in0|in1 combine (~9 ops), leaving quadratic setup 14, sqrt-select 8,
+# 14-plane best-hit where-chain, ~4 compare/mask ops.
+OPS_PER_SPHERE_TEST = 40
 OPS_SHADING_PER_BOUNCE = 140
 
 # Theoretical VPU peak: 1024 lanes x 4 ALUs x 1.5 GHz (clock derived from
