@@ -11,7 +11,10 @@ and reports per-displayed-frame:
     reference's 1 accumulation pull + 2 per denoise method),
   * steady-state Mrays/s from the runtime's rolling FrameStats.
 
-Run on the chip:  python tools/interactive_latency.py [width height spp]
+Run on the chip:  python tools/interactive_latency.py [width height spp
+[denoise_every]]  (denoise_every=N runs the full denoiser stack on every
+Nth displayed frame and reuses the previous enhanced image in between —
+utils/config.py; VERDICT r4 item 5b wants the {1, 4} pair recorded).
 Results land in BASELINE.md's interactive-loop table.
 """
 
@@ -33,6 +36,7 @@ def main() -> None:
     width = int(sys.argv[1]) if len(sys.argv) > 1 else 640
     height = int(sys.argv[2]) if len(sys.argv) > 2 else 480
     spp = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    denoise_every = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     rt = RayTracerInteraction(width, height)
     rt.settings["samples_per_batch"] = spp
@@ -40,6 +44,7 @@ def main() -> None:
     rt.settings["show_denoisers"] = True
     rt.settings["selected_denoisers"] = ["bilateral", "nlmeans", "gaussian",
                                          "median"]
+    rt.settings["denoise_every"] = denoise_every
     rt.start_rendering()
 
     frames = []
@@ -79,6 +84,7 @@ def main() -> None:
             "first_frame_ms": round(frames[0]["frame_latency"] * 1e3, 1),
             "d2h_per_displayed_frame": max(d2h),
             "denoisers": 4,
+            "denoise_every": denoise_every,
             "mrays_per_s": round(rt.frame_stats.mrays_per_s, 1),
             "device": str(jax.devices()[0]),
         },
