@@ -222,7 +222,10 @@ def test_denoised_frames(rti):
     assert rt, "no denoised frames"
     d = rt[-1]["denoised"]
     assert set(d) == {"gaussian", "median"}
-    assert d["gaussian"].shape == (36, 48, 3)
+    # default denoiser_grid_scale=2: grid tiles come back at half size
+    # (the GUI's 2x2 comparison grid shows them no larger — render/
+    # display.py quad packing); grid_scale=1 restores full-res rows
+    assert d["gaussian"].shape == (18, 24, 3)
 
 
 def test_previews_draw_content(rti):

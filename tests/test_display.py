@@ -94,3 +94,51 @@ def test_display_error_isolation_still_ships_frame(monkeypatch):
         # the constructor spawns the tpu_rt-camera worker; the autouse
         # leak fixture (conftest.py) errors any test that leaves it alive
         r.stop_rendering()
+
+
+def test_grid_scale_quad_packing(acc):
+    """grid_scale=2: denoisers run on the 2x-downsampled display image and
+    tile into ONE quad row; unpack_grid inverts the packing exactly and
+    each tile equals the method applied to the downsampled image."""
+    from tpu_rt.render.display import unpack_grid, _apply_method
+
+    methods = ("bilateral", "nlmeans", "gaussian", "median")
+    stack = np.asarray(display_stack(acc, 1.0, methods=methods,
+                                     grid_scale=2))
+    assert stack.shape == (3, 24, 32, 3)  # display, enhanced, quad
+    disp = F.tone_map(jnp.asarray(acc), 1.0)
+    small = np.asarray(disp).reshape(12, 2, 16, 2, 3).mean(axis=(1, 3))
+    tiles = unpack_grid(stack[2], methods, 2)
+    for m in methods:
+        want = np.asarray(_apply_method(m, jnp.asarray(small)))
+        np.testing.assert_allclose(tiles[m], want, atol=1e-5)
+    # rows 0/1 stay full-resolution and unchanged by the packing
+    base = np.asarray(display_stack(acc, 1.0, methods=()))
+    np.testing.assert_allclose(stack[:2], base, atol=1e-6)
+
+
+def test_grid_scale_flows_through_interaction(monkeypatch):
+    """The app's dispatch/finish pair round-trips the packed stack: the
+    frame dict's denoised images come back per-method at half size."""
+    from tpu_rt.app.interaction import RayTracerInteraction
+
+    rt = RayTracerInteraction(64, 48)
+    try:
+        rt.settings["show_denoisers"] = True
+        rt.settings["selected_denoisers"] = ["gaussian", "median"]
+        import jax.numpy as jnp
+
+        rt._acc_dev = jnp.ones((48, 64, 3), jnp.float32) * 0.5
+        dispatched = rt._dispatch_display_stack()
+        assert dispatched is not None
+        stack_dev, methods, gscale = dispatched
+        assert gscale == 2 and methods == ("gaussian", "median")
+        assert stack_dev.shape == (3, 48, 64, 3)
+        rt._finish_display_frame(dispatched, 0.01, batch_start=None)
+        f = rt.get_frame()
+        assert f is not None
+        assert set(f["denoised"]) == {"gaussian", "median"}
+        assert f["denoised"]["gaussian"].shape == (24, 32, 3)
+        assert f["display"].shape == (48, 64, 3)
+    finally:
+        rt.stop_rendering()

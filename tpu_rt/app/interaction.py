@@ -1071,6 +1071,15 @@ class RayTracerInteraction:
         methods = tuple(
             m for m in self.settings["selected_denoisers"] if m != "joint"
         ) if (self.settings["show_denoisers"] and not decimate) else ()
+        # Denoiser-grid packing (round 5): the GUI's 2x2 comparison grid
+        # shows each method at <= half the main view's size, so by default
+        # the denoisers run on the 2x-downsampled image and all four tile
+        # into ONE stack row — -49% pull bytes and -75% denoiser compute
+        # on a tunneled chip (render/display.py module docstring).
+        # settings["denoiser_grid_scale"] = 1 restores full-res rows.
+        gscale = int(self.settings.get("denoiser_grid_scale", 2))
+        if not methods:
+            gscale = 1
         try:
             # uint8 ON DEVICE: the display contract ends at a uint8
             # QImage (reference gui.py:65-80) and the pull dominates a
@@ -1080,7 +1089,8 @@ class RayTracerInteraction:
                 self._acc_dev, self.settings["exposure"],
                 linear=self._linear,
                 enhance=bool(self.settings["enhance_image"]),
-                methods=methods, as_uint8=True), methods
+                methods=methods, as_uint8=True,
+                grid_scale=gscale), methods, gscale
         except Exception as e:  # pragma: no cover
             # Per-frame error isolation: a failing denoiser stage must
             # not freeze the GUI on the last good image — retry without
@@ -1090,7 +1100,7 @@ class RayTracerInteraction:
                 return display_stack(
                     self._acc_dev, self.settings["exposure"],
                     linear=self._linear, enhance=False, methods=(),
-                    as_uint8=True), ()
+                    as_uint8=True), (), 1
             except Exception as e2:
                 print(f"Display fallback error: {e2}")
                 return None
@@ -1099,7 +1109,7 @@ class RayTracerInteraction:
                               batch_start: float | None = None):
         """PULL a dispatched display stack and enqueue the frame dict —
         the blocking half of the split display path."""
-        stack_dev, methods = dispatched
+        stack_dev, methods, gscale = dispatched
         self._d2h_last_frame = 0
         try:
             stack = np.asarray(stack_dev)
@@ -1107,8 +1117,13 @@ class RayTracerInteraction:
         except Exception as e:  # pragma: no cover
             print(f"Display pull error: {e}")
             return
-        self._package_and_enqueue(stack[0], stack[1],
-                                  dict(zip(methods, stack[2:])),
+        if methods and gscale > 1:
+            from ..render.display import unpack_grid
+
+            denoised = unpack_grid(stack[2], methods, gscale)
+        else:
+            denoised = dict(zip(methods, stack[2:]))
+        self._package_and_enqueue(stack[0], stack[1], denoised,
                                   "raytracing", RenderMode.RAYTRACING,
                                   render_time, batch_start,
                                   with_joint=bool(methods))

@@ -15,6 +15,16 @@ enhance, and every selected denoiser, returned as one stacked
 exactly one device->host transfer per displayed frame (north-star config
 #4 "fused over the accumulation buffer"). XLA fuses the elementwise stages
 into the filters' convolutions.
+
+Round 5 adds ``grid_scale``: the GUI shows the denoiser bank in a 2x2
+comparison grid whose tiles render at <= half the main view's size
+(app/gui.py ImageDisplay.scaled), so with ``grid_scale=2`` the denoisers
+run on the 2x-downsampled image and all four results tile into ONE
+(H, W, 3) quad plane — the stack shrinks from (6, H, W, 3) to
+(3, H, W, 3) (-49% pull bytes on a tunneled chip whose bulk D2H measured
+12-23 MB/s) and the denoiser convolutions run at quarter area (device
+compute ~60 -> ~15 ms at 640x480). Visually lossless for the grid
+contract; ``grid_scale=1`` keeps the full-resolution per-method rows.
 """
 
 from __future__ import annotations
@@ -27,12 +37,27 @@ import jax.numpy as jnp
 from ..ops import post
 from .frame import enhance_contrast, tone_map
 
-#: stack row layout: [display, enhanced, *methods]
+#: stack row layout: [display, enhanced, *methods] (grid_scale == 1)
+#: or [display, enhanced, denoiser-quad] (grid_scale > 1 with methods)
 DISPLAY, ENHANCED = 0, 1
 
 
+def _apply_method(m: str, img: jnp.ndarray) -> jnp.ndarray:
+    if m == "bilateral":
+        return post.bilateral_filter(img, d=9, sigma_color=75,
+                                     sigma_space=75)
+    if m == "nlmeans":
+        return post.nlmeans(img, h=10, template_window_size=7,
+                            search_window_size=21)
+    if m == "gaussian":
+        return post.gaussian_blur(img, ksize=5, sigma=1.0)
+    if m == "median":
+        return post.median_blur(img, ksize=5)
+    raise ValueError(f"unknown stackable denoiser {m!r}")
+
+
 @partial(jax.jit, static_argnames=("linear", "enhance", "methods",
-                                   "as_uint8"))
+                                   "as_uint8", "grid_scale"))
 def display_stack(
     acc: jnp.ndarray,
     exposure,
@@ -41,20 +66,25 @@ def display_stack(
     enhance: bool = True,
     methods: tuple[str, ...] = (),
     as_uint8: bool = False,
+    grid_scale: int = 1,
 ) -> jnp.ndarray:
-    """(H, W, 3) accumulator -> (2 + len(methods), H, W, 3) in [0, 1].
+    """(H, W, 3) accumulator -> stacked views in [0, 1].
 
     Row 0 is the tone-mapped display, row 1 the percentile-enhanced view
-    (== row 0 when ``enhance`` is False), rows 2+ the denoised views in
-    ``methods`` order (default parameters match app.denoiser.Denoiser /
-    the reference's denoiser.py:24-44). ``linear=True`` applies the sqrt
-    gamma first (correct-averaging mode accumulates linear radiance).
+    (== row 0 when ``enhance`` is False). With ``grid_scale == 1`` rows 2+
+    are the denoised views in ``methods`` order (default parameters match
+    app.denoiser.Denoiser / the reference's denoiser.py:24-44); with
+    ``grid_scale > 1`` and 1-4 methods, row 2 is a single quad plane
+    tiling the downsampled denoised views row-major (see module
+    docstring). ``linear=True`` applies the sqrt gamma first
+    (correct-averaging mode accumulates linear radiance).
 
     ``as_uint8=True`` quantizes the stack to uint8 ON DEVICE before the
     host pull. The display contract ends at a uint8 QImage either way
     (reference gui.py:65-80), and the pull is the interactive loop's
     dominant cost on a tunneled chip: the 640x480 4-denoiser stack is
-    22 MB as f32 (measured p50 780 ms/frame) vs 5.5 MB as uint8.
+    22 MB as f32 (measured p50 780 ms/frame) vs 5.5 MB as uint8 vs
+    2.8 MB quad-packed.
     """
     img = acc
     if linear:
@@ -62,21 +92,38 @@ def display_stack(
     disp = tone_map(img, exposure)
     outs = [disp]
     outs.append(enhance_contrast(disp) if enhance else disp)
-    for m in methods:
-        if m == "bilateral":
-            outs.append(post.bilateral_filter(disp, d=9, sigma_color=75,
-                                              sigma_space=75))
-        elif m == "nlmeans":
-            outs.append(post.nlmeans(disp, h=10, template_window_size=7,
-                                     search_window_size=21))
-        elif m == "gaussian":
-            outs.append(post.gaussian_blur(disp, ksize=5, sigma=1.0))
-        elif m == "median":
-            outs.append(post.median_blur(disp, ksize=5))
-        else:
-            raise ValueError(f"unknown stackable denoiser {m!r}")
+    if methods and grid_scale > 1:
+        if len(methods) > 4:
+            raise ValueError("grid_scale packing holds at most 4 methods")
+        g = int(grid_scale)
+        h, w = disp.shape[0], disp.shape[1]
+        hg, wg = h // g, w // g
+        small = disp[: hg * g, : wg * g, :].reshape(
+            hg, g, wg, g, 3).mean(axis=(1, 3))
+        quad = jnp.zeros_like(disp)
+        for i, m in enumerate(methods):
+            r, c = divmod(i, 2)
+            quad = jax.lax.dynamic_update_slice(
+                quad, _apply_method(m, small), (r * hg, c * wg, 0))
+        outs.append(quad)
+    else:
+        for m in methods:
+            outs.append(_apply_method(m, disp))
     stack = jnp.stack(outs)
     if as_uint8:
         stack = jnp.round(
             jnp.clip(stack, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     return stack
+
+
+def unpack_grid(quad, methods: tuple[str, ...], grid_scale: int):
+    """Host-side inverse of the quad packing: slice the (H, W, 3) quad
+    plane back into per-method images (each (H//g, W//g, 3), row-major
+    2x2 order). Works on numpy or jax arrays."""
+    g = int(grid_scale)
+    hg, wg = quad.shape[0] // g, quad.shape[1] // g
+    out = {}
+    for i, m in enumerate(methods):
+        r, c = divmod(i, 2)
+        out[m] = quad[r * hg:(r + 1) * hg, c * wg:(c + 1) * wg]
+    return out
